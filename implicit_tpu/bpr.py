@@ -1,0 +1,64 @@
+"""Factory for Bayesian Personalized Ranking models.
+
+API parity with /root/reference/implicit/bpr.py:7-72 (which dispatches between
+CPU and CUDA implementations; this build has one device-native implementation).
+"""
+
+import numpy as np
+
+from .models.bpr import BayesianPersonalizedRanking as _BayesianPersonalizedRanking
+
+
+def BayesianPersonalizedRanking(
+    factors=100,
+    learning_rate=0.01,
+    regularization=0.01,
+    dtype=np.float32,
+    iterations=100,
+    use_gpu=None,
+    num_threads=0,
+    verify_negative_samples=True,
+    random_state=None,
+):
+    """Bayesian Personalized Ranking.
+
+    A recommender model that learns a matrix factorization embedding based off
+    minimizing the pairwise ranking loss described in 'BPR: Bayesian
+    Personalized Ranking from Implicit Feedback'.
+
+    Parameters
+    ----------
+    factors : int, optional
+        The number of latent factors to compute
+    learning_rate : float, optional
+        The learning rate to apply for SGD updates during training
+    regularization : float, optional
+        The regularization factor to use
+    dtype : data-type, optional
+        Storage dtype of the factors
+    iterations : int, optional
+        The number of training epochs to use when fitting the data
+    use_gpu : bool, optional
+        Accepted for API parity; compute always runs on the JAX default device
+    num_threads : int, optional
+        Accepted for API parity
+    verify_negative_samples : bool, optional
+        When sampling negative items, check that the randomly picked negative
+        item hasn't actually been liked by the user
+    random_state : int, RandomState, Generator or None, optional
+        The random state for seeding the initial item and user factors
+
+    Returns
+    -------
+    BayesianPersonalizedRanking
+    """
+    return _BayesianPersonalizedRanking(
+        factors=factors,
+        learning_rate=learning_rate,
+        regularization=regularization,
+        dtype=dtype,
+        iterations=iterations,
+        num_threads=num_threads,
+        verify_negative_samples=verify_negative_samples,
+        random_state=random_state,
+    )

@@ -1,0 +1,256 @@
+"""Train/test splitting and ranking metrics (p@k, MAP, NDCG, AUC).
+
+Functional parity with /root/reference/implicit/evaluation.pyx:14-475. The
+splits are host-side numpy (they were in the reference too); the metric loop —
+a nogil C++ loop with an unordered_set per user in the reference
+(evaluation.pyx:437-465) — is replaced by a fully vectorized numpy batch
+computation: membership tests become a broadcast compare against the padded
+test rows of each batch.
+"""
+
+import numpy as np
+from scipy.sparse import csr_matrix
+from tqdm.auto import tqdm
+
+from .utils import check_random_state
+
+
+def train_test_split(ratings, train_percentage=0.8, random_state=None):
+    """Randomly splits ratings into train/test matrices.
+
+    Returns (train, test) csr matrices where each nonzero lands in train with
+    probability ``train_percentage``. Negative entries are removed from test.
+    """
+    ratings = ratings.tocoo()
+    random_state = check_random_state(random_state)
+    random_index = random_state.random(len(ratings.data))
+    train_index = random_index < train_percentage
+    test_index = random_index >= train_percentage
+
+    train = csr_matrix(
+        (ratings.data[train_index], (ratings.row[train_index], ratings.col[train_index])),
+        shape=ratings.shape,
+        dtype=ratings.dtype,
+    )
+
+    test = csr_matrix(
+        (ratings.data[test_index], (ratings.row[test_index], ratings.col[test_index])),
+        shape=ratings.shape,
+        dtype=ratings.dtype,
+    )
+
+    test.data[test.data < 0] = 0
+    test.eliminate_zeros()
+
+    return train, test
+
+
+def _choose(rng, n, frac):
+    """Sample approximately ``frac`` of range(n) without replacement."""
+    size = max(1, int(n * frac))
+    return rng.choice(n, size=size, replace=False)
+
+
+def _take_tails(arr, n, return_complement=False, shuffled=False):
+    """Indices of the last ``n`` occurrences of each integer in ``arr``.
+
+    ``arr`` must contain consecutive integers starting from some value; with
+    ``shuffled=True`` the selected tails are randomized within each group.
+    """
+    idx = arr.argsort()
+    sorted_arr = arr[idx]
+
+    end = np.bincount(sorted_arr).cumsum() - 1
+    start = end - n
+    ranges = np.linspace(start, end, num=n + 1, dtype=int)[1:]
+
+    if shuffled:
+        shuffled_idx = (sorted_arr + np.random.random(arr.shape)).argsort()
+        tails = shuffled_idx[np.ravel(ranges, order="f")]
+    else:
+        tails = np.ravel(ranges, order="f")
+
+    heads = np.setdiff1d(idx, tails)
+
+    if return_complement:
+        return idx[tails], idx[heads]
+    return idx[tails]
+
+
+def leave_k_out_split(ratings, K=1, train_only_size=0.0, random_state=None):
+    """Leave-K-out split: each eligible user has K interactions held out.
+
+    Users need more than K+1 interactions to be eligible; ``train_only_size``
+    reserves a fraction of users to appear only in the train matrix.
+    Returns (train, test) csr matrices.
+    """
+    if K < 1:
+        raise ValueError("The 'K' must be >= 1.")
+    if not 0.0 <= train_only_size < 1.0:
+        raise ValueError("The 'train_only_size' must be in the range (0.0 <= x < 1.0).")
+
+    ratings = ratings.tocoo()
+    random_state = check_random_state(random_state)
+
+    users = ratings.row
+    items = ratings.col
+    data = ratings.data
+
+    unique_users, counts = np.unique(users, return_counts=True)
+
+    candidate_mask = counts > K + 1
+
+    if train_only_size > 0.0:
+        train_only_mask = ~np.isin(
+            unique_users, _choose(random_state, len(unique_users), train_only_size)
+        )
+        candidate_mask = train_only_mask & candidate_mask
+
+    unique_candidate_users = unique_users[candidate_mask]
+    full_candidate_mask = np.isin(users, unique_candidate_users)
+
+    candidate_users = users[full_candidate_mask]
+    candidate_items = items[full_candidate_mask]
+    candidate_data = data[full_candidate_mask]
+
+    test_idx, train_idx = _take_tails(candidate_users, K, shuffled=True, return_complement=True)
+    train_idx = np.setdiff1d(np.arange(len(candidate_users), dtype=int), test_idx)
+
+    test_mat = csr_matrix(
+        (candidate_data[test_idx], (candidate_users[test_idx], candidate_items[test_idx])),
+        shape=ratings.shape,
+        dtype=ratings.dtype,
+    )
+
+    train_users = np.r_[users[~full_candidate_mask], candidate_users[train_idx]]
+    train_items = np.r_[items[~full_candidate_mask], candidate_items[train_idx]]
+    train_data = np.r_[data[~full_candidate_mask], candidate_data[train_idx]]
+    train_mat = csr_matrix(
+        (train_data, (train_users, train_items)), shape=ratings.shape, dtype=ratings.dtype
+    )
+
+    return train_mat, test_mat
+
+
+def ranking_metrics_at_k(
+    model, train_user_items, test_user_items, K=10, show_progress=True, num_threads=1
+):
+    """Calculates precision@K, MAP@K, NDCG@K and AUC@K for a trained model.
+
+    Metric definitions match /root/reference/implicit/evaluation.pyx:437-465.
+    """
+    if not isinstance(train_user_items, csr_matrix):
+        train_user_items = train_user_items.tocsr()
+    if not isinstance(test_user_items, csr_matrix):
+        test_user_items = test_user_items.tocsr()
+
+    users, items = test_user_items.shape
+
+    # cumulative-gain tables for NDCG
+    cg = 1.0 / np.log2(np.arange(2, K + 2))
+    cg_sum = np.cumsum(cg)
+
+    test_indptr = test_user_items.indptr
+    test_indices = test_user_items.indices
+
+    relevant = 0.0
+    pr_div = 0.0
+    total = 0.0
+    mean_ap = 0.0
+    ndcg = 0.0
+    mean_auc = 0.0
+
+    to_generate = np.arange(users, dtype="int32")
+    to_generate = to_generate[np.ediff1d(test_user_items.indptr) > 0]
+
+    batch_size = 1000
+    start_idx = 0
+
+    progress = tqdm(total=len(to_generate), disable=not show_progress)
+
+    while start_idx < len(to_generate):
+        batch = to_generate[start_idx : start_idx + batch_size]
+        ids, _ = model.recommend(batch, train_user_items[batch], N=K)
+        start_idx += batch_size
+        B = len(batch)
+
+        # pad each user's test row to the batch max for broadcast membership
+        likes_count = (test_indptr[batch + 1] - test_indptr[batch]).astype(np.int64)
+        Lmax = int(likes_count.max())
+        # pad with -2: recommend() pads short results with -1, which must not
+        # collide with the padding sentinel here
+        padded = np.full((B, Lmax), -2, dtype=np.int64)
+        within = np.arange(likes_count.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(likes_count) - likes_count, likes_count
+        )
+        rows = np.repeat(np.arange(B, dtype=np.int64), likes_count)
+        src = np.repeat(test_indptr[batch].astype(np.int64), likes_count) + within
+        padded[rows, within] = test_indices[src]
+
+        hits = (ids[:, :, None] == padded[:, None, :]).any(axis=2)  # (B, K)
+
+        num_pos = likes_count.astype(np.float64)
+        num_neg = items - num_pos
+        k_eff = np.minimum(K, num_pos)
+
+        relevant += hits.sum()
+        pr_div += k_eff.sum()
+
+        hit_cum = np.cumsum(hits, axis=1)  # inclusive cumulative hits
+        ranks = np.arange(1, ids.shape[1] + 1, dtype=np.float64)
+        ap = (hits * hit_cum / ranks).sum(axis=1)
+        mean_ap += (ap / k_eff).sum()
+
+        idcg = cg_sum[(k_eff - 1).astype(np.int64)]
+        ndcg += (hits * (cg[None, : ids.shape[1]] / idcg[:, None])).sum()
+
+        # AUC: each miss at rank i contributes the hits seen so far
+        miss = ~hits
+        auc = (miss * hit_cum).sum(axis=1).astype(np.float64)
+        miss_total = miss.sum(axis=1)
+        hit_total = hits.sum(axis=1)
+        auc += ((hit_total + num_pos) / 2.0) * (num_neg - miss_total)
+        mean_auc += (auc / (num_pos * num_neg)).sum()
+
+        total += B
+        progress.update(B)
+
+    progress.close()
+    return {
+        "precision": relevant / pr_div,
+        "map": mean_ap / total,
+        "ndcg": ndcg / total,
+        "auc": mean_auc / total,
+    }
+
+
+def precision_at_k(model, train_user_items, test_user_items, K=10, show_progress=True,
+                   num_threads=1):
+    """Calculates P@K for a given trained model."""
+    return ranking_metrics_at_k(
+        model, train_user_items, test_user_items, K, show_progress, num_threads
+    )["precision"]
+
+
+def mean_average_precision_at_k(model, train_user_items, test_user_items, K=10,
+                                show_progress=True, num_threads=1):
+    """Calculates MAP@K for a given trained model."""
+    return ranking_metrics_at_k(
+        model, train_user_items, test_user_items, K, show_progress, num_threads
+    )["map"]
+
+
+def ndcg_at_k(model, train_user_items, test_user_items, K=10, show_progress=True,
+              num_threads=1):
+    """Calculates NDCG@K for a given trained model."""
+    return ranking_metrics_at_k(
+        model, train_user_items, test_user_items, K, show_progress, num_threads
+    )["ndcg"]
+
+
+def AUC_at_k(model, train_user_items, test_user_items, K=10, show_progress=True,
+             num_threads=1):
+    """Calculates limited AUC for a given trained model."""
+    return ranking_metrics_at_k(
+        model, train_user_items, test_user_items, K, show_progress, num_threads
+    )["auc"]

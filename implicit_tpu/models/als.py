@@ -1,0 +1,346 @@
+"""Implicit-feedback Alternating Least Squares, TPU-native.
+
+Same model and hyperparameters as the reference implementation
+(/root/reference/implicit/cpu/als.py:20-577 and implicit/gpu/als.py:14-341):
+the Hu/Koren/Volinsky implicit ALS objective with the Takács et al. conjugate
+gradient speedup. Instead of per-user scalar solves on OpenMP threads / CUDA
+blocks, each half-iteration re-solves whole chunks of users as batched MXU
+matmul programs over a :class:`~implicit_tpu.sparse.BucketedCSR` (see
+:mod:`implicit_tpu.ops.als`).
+"""
+
+import heapq
+import logging
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import scipy
+import scipy.sparse
+from tqdm.auto import tqdm
+
+from ..ops import als as als_ops
+from ..sparse import BucketedCSR
+from ..utils import check_csr, check_random_state, nonzeros
+from .mf_base import MatrixFactorizationBase
+
+log = logging.getLogger("implicit_tpu")
+
+
+class AlternatingLeastSquares(MatrixFactorizationBase):
+    """Alternating Least Squares.
+
+    A recommendation model based on the algorithms described in
+    'Collaborative Filtering for Implicit Feedback Datasets' with performance
+    optimizations from 'Applications of the Conjugate Gradient Method for
+    Implicit Feedback Collaborative Filtering.'
+
+    Parameters
+    ----------
+    factors : int, optional
+        The number of latent factors to compute
+    regularization : float, optional
+        The regularization factor to use
+    alpha : float, optional
+        The weight to give to positive examples
+    dtype : data-type, optional
+        Storage dtype of the returned factors (compute is float32 on device)
+    use_native : bool, optional
+        Accepted for API parity; device compute is always used
+    use_cg : bool, optional
+        Use the faster conjugate-gradient solver (3 steps) instead of batched
+        dense Cholesky-style solves
+    iterations : int, optional
+        The number of ALS iterations to run when fitting
+    calculate_training_loss : bool, optional
+        Whether to compute the training loss each iteration
+    num_threads : int, optional
+        Accepted for API parity; parallelism comes from the device mesh
+    random_state : int, RandomState, Generator or None, optional
+        Seeding for the initial factor matrices
+    """
+
+    def __init__(
+        self,
+        factors=100,
+        regularization=0.01,
+        alpha=1.0,
+        dtype=np.float32,
+        use_native=True,
+        use_cg=True,
+        iterations=15,
+        calculate_training_loss=False,
+        num_threads=0,
+        random_state=None,
+    ):
+        super().__init__(num_threads=num_threads)
+
+        self.factors = factors
+        self.regularization = regularization
+        self.alpha = alpha
+
+        self.dtype = np.dtype(dtype)
+        self.use_native = use_native
+        self.use_cg = use_cg
+        self.iterations = iterations
+        self.calculate_training_loss = calculate_training_loss
+        self.fit_callback = None
+        self.cg_steps = 3
+        self.random_state = random_state
+
+        # cached f x f gramians
+        self._YtY = None
+        self._XtX = None
+
+    def fit(self, user_items, show_progress=True, callback=None):
+        """Factorizes the user_items matrix.
+
+        user_items defines both which items each user liked (P_ui) and the
+        confidence (C_ui). Unset entries mean P=0, C=1; negative values mean
+        "disliked" with confidence |value|.
+        """
+        random_state = check_random_state(self.random_state)
+
+        Cui = check_csr(user_items)
+        if Cui.dtype != np.float32:
+            Cui = Cui.astype(np.float32)
+
+        if self.alpha != 1.0:
+            Cui = self.alpha * Cui
+
+        s = time.time()
+        Ciu = Cui.T.tocsr()
+        log.debug("Calculated transpose in %.3fs", time.time() - s)
+
+        users, items = Cui.shape
+
+        if self.user_factors is None:
+            self.user_factors = (
+                random_state.random((users, self.factors), dtype=np.float32) * 0.01
+            ).astype(self.dtype)
+        if self.item_factors is None:
+            self.item_factors = (
+                random_state.random((items, self.factors), dtype=np.float32) * 0.01
+            ).astype(self.dtype)
+
+        self._item_norms = self._user_norms = None
+        self._YtY = None
+        self._XtX = None
+        loss = None
+
+        s = time.time()
+        user_buckets = BucketedCSR(Cui).to_device()
+        item_buckets = BucketedCSR(Ciu).to_device()
+        log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)
+
+        X = jnp.asarray(self.user_factors, dtype=jnp.float32)
+        Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+
+        log.debug("Running %i ALS iterations", self.iterations)
+        with tqdm(total=self.iterations, disable=not show_progress) as progress:
+            for iteration in range(self.iterations):
+                s = time.time()
+                X = als_ops.solve_side(
+                    X, Y, user_buckets, self.regularization, self.use_cg, self.cg_steps
+                )
+                Y = als_ops.solve_side(
+                    Y, X, item_buckets, self.regularization, self.use_cg, self.cg_steps
+                )
+                X.block_until_ready()
+                progress.update(1)
+
+                if self.calculate_training_loss:
+                    loss = als_ops.calculate_loss_bucketed(
+                        user_buckets, X, Y, self.regularization
+                    )
+                    progress.set_postfix({"loss": loss})
+                    if not show_progress:
+                        log.info("loss %.4f", loss)
+
+                if not callback:
+                    callback = self.fit_callback
+                if callback:
+                    callback(iteration, time.time() - s, loss)
+
+        # np.array (not asarray): jax.Array views are read-only, but factors
+        # must stay mutable for partial_fit_* updates
+        self.user_factors = np.array(X, dtype=self.dtype)
+        self.item_factors = np.array(Y, dtype=self.dtype)
+
+        if self.calculate_training_loss:
+            log.info("Final training loss %.4f", loss)
+
+        self._check_fit_errors()
+
+    def _solve_rows(self, row_items, other_factors, gram):
+        """Cholesky-solve factors for the rows of ``row_items`` against fixed factors."""
+        buckets = BucketedCSR(row_items).to_device()
+        rows = row_items.shape[0]
+        X = jnp.zeros((rows, self.factors), dtype=jnp.float32)
+        Y = jnp.asarray(other_factors, dtype=jnp.float32)
+        YtY_reg = jnp.asarray(gram, dtype=jnp.float32) + self.regularization * jnp.eye(
+            self.factors, dtype=jnp.float32
+        )
+        for cls in buckets.classes:
+            X = als_ops.cho_solve_scan(X, Y, YtY_reg, cls.rows, cls.indices, cls.data)
+        return np.array(X, dtype=self.dtype)
+
+    def recalculate_user(self, userid, user_items):
+        """Recalculates factors for a batch of users from their liked items."""
+        user_items = check_csr(user_items)
+        users = 1 if np.isscalar(userid) else len(userid)
+        if user_items.shape[0] != users:
+            raise ValueError("user_items should have one row for every item in user")
+        if self.alpha != 1.0:
+            user_items = self.alpha * user_items
+
+        user_factors = self._solve_rows(user_items, self.item_factors, self.YtY)
+        return user_factors[0] if np.isscalar(userid) else user_factors
+
+    def recalculate_item(self, itemid, item_users):
+        """Recalculates factors for a batch of items from their liking users."""
+        item_users = check_csr(item_users)
+        if self.alpha != 1.0:
+            item_users = self.alpha * item_users
+
+        item_factors = self._solve_rows(item_users, self.user_factors, self.XtX)
+        return item_factors[0] if np.isscalar(itemid) else item_factors
+
+    def partial_fit_users(self, userids, user_items):
+        """Incrementally recalculates factors for the given users, growing storage."""
+        if len(userids) != user_items.shape[0]:
+            raise ValueError("user_items must contain 1 row for every user in userids")
+
+        user_factors = self.recalculate_user(userids, user_items)
+
+        users, factors = self.user_factors.shape
+        max_userid = max(userids)
+        if max_userid >= users:
+            self.user_factors = np.concatenate(
+                [self.user_factors, np.zeros((max_userid - users + 1, factors), dtype=self.dtype)]
+            )
+
+        self.user_factors[userids] = user_factors
+        self._user_norms = None
+        self._XtX = None
+
+    def partial_fit_items(self, itemids, item_users):
+        """Incrementally recalculates factors for the given items, growing storage."""
+        if len(itemids) != item_users.shape[0]:
+            raise ValueError("item_users must contain 1 row for every user in itemids")
+
+        item_factors = self.recalculate_item(itemids, item_users)
+
+        items, factors = self.item_factors.shape
+        max_itemid = max(itemids)
+        if max_itemid >= items:
+            self.item_factors = np.concatenate(
+                [self.item_factors, np.zeros((max_itemid - items + 1, factors), dtype=self.dtype)]
+            )
+
+        self.item_factors[itemids] = item_factors
+        self._item_norms = None
+        self._YtY = None
+
+    def explain(self, userid, user_items, itemid, user_weights=None, N=10):
+        """Explains why ``itemid`` is recommended to ``userid``.
+
+        Returns (total_score, top N (itemid, contribution) pairs, user_weights)
+        where user_weights is the Cholesky factorization of the user's weighted
+        normal-equation matrix (section 5 of the Hu et al. paper), reusable for
+        repeated calls.
+        """
+        user_items = check_csr(user_items)
+        if self.alpha != 1.0:
+            user_items = self.alpha * user_items
+
+        if user_weights is None:
+            A, _ = user_linear_equation(
+                self.item_factors, self.YtY, user_items, userid, self.regularization, self.factors
+            )
+            user_weights = scipy.linalg.cho_factor(A)
+        seed_item = self.item_factors[itemid]
+
+        # weighted_item = y_i^t W_u^-1
+        weighted_item = scipy.linalg.cho_solve(user_weights, seed_item)
+
+        total_score = 0.0
+        h = []
+        for other_itemid, confidence in nonzeros(user_items, userid):
+            if confidence < 0:
+                continue
+            factor = self.item_factors[other_itemid]
+            # s_u^ij = (y_i^t W_u^-1 y_j) * c_uj
+            score = weighted_item.dot(factor) * confidence
+            total_score += score
+            contribution = (score, other_itemid)
+            if len(h) < N:
+                heapq.heappush(h, contribution)
+            else:
+                heapq.heappushpop(h, contribution)
+
+        items = (heapq.heappop(h) for _ in range(len(h)))
+        top_contributions = list((i, s) for s, i in items)[::-1]
+        return total_score, top_contributions, user_weights
+
+    @property
+    def solver(self):
+        """Name of the active solver (informational)."""
+        return "cg" if self.use_cg else "cholesky"
+
+    @property
+    def YtY(self):
+        if self._YtY is None:
+            Y = self.item_factors
+            self._YtY = Y.T.dot(Y)
+        return self._YtY
+
+    @property
+    def XtX(self):
+        if self._XtX is None:
+            X = self.user_factors
+            self._XtX = X.T.dot(X)
+        return self._XtX
+
+    def save(self, fileobj_or_path):
+        args = {
+            "user_factors": self.user_factors,
+            "item_factors": self.item_factors,
+            "regularization": self.regularization,
+            "factors": self.factors,
+            "num_threads": self.num_threads,
+            "iterations": self.iterations,
+            "use_native": self.use_native,
+            "use_cg": self.use_cg,
+            "cg_steps": self.cg_steps,
+            "calculate_training_loss": self.calculate_training_loss,
+            "dtype": self.dtype.name,
+            "random_state": self.random_state,
+            "alpha": self.alpha,
+        }
+        args = {k: v for k, v in args.items() if v is not None}
+        np.savez(fileobj_or_path, **args)
+
+
+def user_linear_equation(Y, YtY, Cui, u, regularization, n_factors):
+    """Builds the per-user normal equations A x = b (host-side, for explain)."""
+    A = YtY + regularization * np.eye(n_factors)
+    b = np.zeros(n_factors)
+
+    for i, confidence in nonzeros(Cui, u):
+        factor = Y[i]
+        if confidence > 0:
+            b += confidence * factor
+        else:
+            confidence *= -1
+        A += (confidence - 1) * np.outer(factor, factor)
+    return A, b
+
+
+def user_factor(Y, YtY, Cui, u, regularization, n_factors):
+    """Solves a single user's factor (host-side reference path)."""
+    A, b = user_linear_equation(Y, YtY, Cui, u, regularization, n_factors)
+    return np.linalg.solve(A, b)
+
+
+calculate_loss = als_ops.calculate_loss

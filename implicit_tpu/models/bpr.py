@@ -1,0 +1,252 @@
+"""Bayesian Personalized Ranking, TPU-native.
+
+Same objective and factor layout as the reference
+(/root/reference/implicit/cpu/bpr.pyx:70-303, implicit/gpu/bpr.cu:17-137):
+pairwise sigmoid ranking SGD over (user, liked, disliked) triples, with an
+extra trailing column on the factors holding the item bias (the matching user
+column is pinned to 1.0).
+
+The reference trains Hogwild-style — racing unsynchronized updates across
+OpenMP threads / CUDA blocks. On TPU we replace that with *deterministic
+synchronous minibatch SGD*: each epoch draws nnz random (liked, disliked)
+index pairs with ``jax.random``, processes them in fixed-size minibatches via
+``lax.scan``, verifies negatives with a vectorized per-row binary search over
+the CSR indices, and applies gradients with scatter-add (colliding updates
+within a minibatch sum). Same objective, deterministic schedule.
+"""
+
+import functools
+import logging
+import multiprocessing
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm.auto import tqdm
+
+from ..utils import check_csr, check_random_state
+from .mf_base import MatrixFactorizationBase
+
+log = logging.getLogger("implicit_tpu")
+
+
+def _segment_member(indptr, indices, u, col, n_iters):
+    """Vectorized binary search: is ``col`` present in CSR row ``u``?
+
+    Replaces the reference's std::binary_search negative-sample verification
+    (/root/reference/implicit/cpu/bpr.pyx:63-67). ``n_iters`` must be >=
+    ceil(log2(max_row_length)) + 1.
+    """
+    n = indices.shape[0]
+    lo = indptr[u]
+    hi = indptr[u + 1]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = indices[jnp.clip(mid, 0, n - 1)]
+        go_right = v < col
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return (lo < indptr[u + 1]) & (indices[jnp.clip(lo, 0, n - 1)] == col)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "batch", "verify_neg", "bisect_iters"),
+    donate_argnums=(0, 1),
+)
+def _bpr_epoch(
+    X, Y, userids, itemids, indptr, key, lr, reg,
+    steps, batch, verify_neg, bisect_iters,
+):
+    """One BPR training epoch: steps x batch sampled pairwise SGD updates."""
+    n_samples = userids.shape[0]
+    factors = X.shape[1] - 1  # trailing column is the bias slot
+
+    # user bias column is pinned to 1.0: mask gradient there
+    user_grad_mask = jnp.ones((X.shape[1],), dtype=X.dtype).at[factors].set(0.0)
+
+    def step(carry, subkey):
+        X, Y, correct, skipped = carry
+        k1, k2 = jax.random.split(subkey)
+        liked_idx = jax.random.randint(k1, (batch,), 0, n_samples)
+        disliked_idx = jax.random.randint(k2, (batch,), 0, n_samples)
+
+        u = userids[liked_idx]
+        liked = itemids[liked_idx]
+        disliked = itemids[disliked_idx]
+
+        if verify_neg:
+            skip = _segment_member(indptr, itemids, u, disliked, bisect_iters)
+        else:
+            skip = jnp.zeros((batch,), dtype=bool)
+
+        xu = X[u]
+        yl = Y[liked]
+        yd = Y[disliked]
+
+        score = jnp.sum(xu * (yl - yd), axis=1)
+        z = 1.0 / (1.0 + jnp.exp(score))
+
+        keep = ~skip
+        correct = correct + jnp.sum((z < 0.5) & keep)
+        skipped = skipped + jnp.sum(skip)
+
+        scale = jnp.where(keep, lr, 0.0)[:, None]
+        # bias column: user's is 1.0, so the unified expressions below also
+        # produce the reference's bias updates (bpr.pyx:299-301)
+        dx = (z[:, None] * (yl - yd) - reg * xu) * user_grad_mask
+        dyl = z[:, None] * xu - reg * yl
+        dyd = -z[:, None] * xu - reg * yd
+
+        X = X.at[u].add(scale * dx)
+        Y = Y.at[liked].add(scale * dyl)
+        Y = Y.at[disliked].add(scale * dyd)
+        return (X, Y, correct, skipped), None
+
+    subkeys = jax.random.split(key, steps)
+    (X, Y, correct, skipped), _ = jax.lax.scan(
+        step, (X, Y, jnp.int32(0), jnp.int32(0)), subkeys
+    )
+    return X, Y, correct, skipped
+
+
+class BayesianPersonalizedRanking(MatrixFactorizationBase):
+    """Bayesian Personalized Ranking.
+
+    Learns a matrix factorization by minimizing the pairwise ranking loss of
+    'BPR: Bayesian Personalized Ranking from Implicit Feedback' (Rendle et
+    al.). Nonzero entries are treated as binary positive signals.
+
+    Parameters
+    ----------
+    factors : int, optional
+        The number of latent factors (one extra bias column is stored)
+    learning_rate : float, optional
+    regularization : float, optional
+    dtype : data-type, optional
+    iterations : int, optional
+        The number of training epochs
+    verify_negative_samples : bool, optional
+        Check that sampled negatives aren't actually liked by the user
+    num_threads : int, optional
+        API parity; ignored
+    random_state : int, RandomState, Generator or None, optional
+    """
+
+    def __init__(
+        self,
+        factors=100,
+        learning_rate=0.01,
+        regularization=0.01,
+        dtype=np.float32,
+        iterations=100,
+        num_threads=0,
+        verify_negative_samples=True,
+        random_state=None,
+    ):
+        super().__init__(num_threads=num_threads)
+        self.factors = factors
+        self.learning_rate = learning_rate
+        self.iterations = iterations
+        self.regularization = regularization
+        self.dtype = np.dtype(dtype)
+        self.verify_negative_samples = verify_negative_samples
+        self.random_state = random_state
+
+    def fit(self, user_items, show_progress=True, callback=None):
+        """Factorizes the user_items matrix (values treated as binary likes)."""
+        rs = check_random_state(self.random_state)
+
+        if user_items.dtype != np.float32:
+            user_items = user_items.astype(np.float32)
+        user_items = check_csr(user_items)
+        users, items = user_items.shape
+
+        if self.verify_negative_samples and not user_items.has_sorted_indices:
+            user_items.sort_indices()
+
+        user_counts = np.ediff1d(user_items.indptr)
+        userids = np.repeat(np.arange(users, dtype=np.int32), user_counts)
+
+        # factors+1 layout: last column is the item bias, user column pinned 1
+        if self.item_factors is None:
+            self.item_factors = (
+                rs.random((items, self.factors + 1), dtype=np.float32) - 0.5
+            ) / self.factors
+            item_counts = np.bincount(user_items.indices, minlength=items)
+            self.item_factors[item_counts == 0] = np.zeros(self.factors + 1)
+
+        if self.user_factors is None:
+            self.user_factors = (
+                rs.random((users, self.factors + 1), dtype=np.float32) - 0.5
+            ) / self.factors
+            self.user_factors[user_counts == 0] = np.zeros(self.factors + 1)
+            self.user_factors[:, self.factors] = 1.0
+
+        self._user_norms = self._item_norms = None
+
+        samples = len(user_items.data)
+        if samples == 0:
+            self._check_fit_errors()
+            return
+
+        batch = int(min(4096, max(64, 1 << int(np.ceil(np.log2(max(samples // 16, 1)))))))
+        steps = max(1, -(-samples // batch))
+        max_row = int(user_counts.max()) if len(user_counts) else 1
+        bisect_iters = int(np.ceil(np.log2(max(max_row, 2)))) + 1
+
+        X = jnp.asarray(self.user_factors, dtype=jnp.float32)
+        Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+        uids = jnp.asarray(userids)
+        iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
+        indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
+
+        key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
+
+        log.debug("Running %i BPR training epochs", self.iterations)
+        with tqdm(total=self.iterations, disable=not show_progress) as progress:
+            for epoch in range(self.iterations):
+                s = time.time()
+                key, subkey = jax.random.split(key)
+                X, Y, correct, skipped = _bpr_epoch(
+                    X, Y, uids, iids, indptr, subkey,
+                    jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                    steps, batch, self.verify_negative_samples, bisect_iters,
+                )
+                correct = int(correct)
+                skipped = int(skipped)
+                progress.update(1)
+                total = steps * batch
+                if total != 0 and total != skipped:
+                    progress.set_postfix(
+                        {
+                            "train_auc": f"{100.0 * correct / (total - skipped):0.2f}%",
+                            "skipped": f"{100.0 * skipped / total:0.2f}%",
+                        }
+                    )
+                if callback:
+                    callback(epoch, time.time() - s, correct, skipped)
+
+        self.user_factors = np.array(X, dtype=self.dtype)
+        self.item_factors = np.array(Y, dtype=self.dtype)
+        self._check_fit_errors()
+
+    def save(self, fileobj_or_path):
+        args = {
+            "user_factors": self.user_factors,
+            "item_factors": self.item_factors,
+            "regularization": self.regularization,
+            "factors": self.factors,
+            "learning_rate": self.learning_rate,
+            "verify_negative_samples": self.verify_negative_samples,
+            "num_threads": self.num_threads,
+            "iterations": self.iterations,
+            "dtype": self.dtype.name,
+            "random_state": self.random_state,
+        }
+        args = {k: v for k, v in args.items() if v is not None}
+        np.savez(fileobj_or_path, **args)

@@ -1,0 +1,213 @@
+"""Shared serving logic for matrix-factorization models.
+
+Functional parity with the reference MF base classes
+(/root/reference/implicit/cpu/matrix_factorization_base.py:12-264 and
+implicit/gpu/matrix_factorization_base.py:12-259): recommend / similar_users /
+similar_items with filter_items / items= subsetting semantics, norm caches and
+recalculate hooks — all routed through the single device top-k engine in
+:mod:`implicit_tpu.ops.topk`. Scalar queries are the batch path plus a squeeze
+at the edge, so batch == scalar consistency holds by construction.
+"""
+
+import numpy as np
+from scipy.sparse import csr_matrix
+
+from ..ops.topk import topk
+from ..recommender_base import RecommenderBase
+
+
+class MatrixFactorizationBase(RecommenderBase):
+    """Common recommend/similar_* functionality on top of factor matrices.
+
+    Attributes
+    ----------
+    item_factors : ndarray — latent factors for each item
+    user_factors : ndarray — latent factors for each user
+    """
+
+    def __init__(self, num_threads=0):
+        self.item_factors = None
+        self.user_factors = None
+        self._user_norms, self._item_norms = None, None
+        self.num_threads = num_threads
+
+    def recommend(
+        self,
+        userid,
+        user_items,
+        N=10,
+        filter_already_liked_items=True,
+        filter_items=None,
+        recalculate_user=False,
+        items=None,
+    ):
+        if filter_already_liked_items or recalculate_user:
+            if not isinstance(user_items, csr_matrix):
+                raise ValueError("user_items needs to be a CSR sparse matrix")
+            user_count = 1 if np.isscalar(userid) else len(userid)
+            if user_items.shape[0] != user_count:
+                raise ValueError("user_items must contain 1 row for every user in userids")
+
+        user = self._user_factor(userid, user_items, recalculate_user)
+
+        item_factors = self.item_factors
+
+        if items is not None:
+            N = min(N, len(items))
+            if filter_items:
+                raise ValueError("Can't set both items and filter_items in recommend call")
+
+            items = np.array(items)
+            items.sort()
+            if items.max() >= self.item_factors.shape[0] or items.min() < 0:
+                raise IndexError("Some itemids in the items parameter in are not in the model")
+            item_factors = item_factors[items]
+
+        filter_query_items = None
+        if filter_already_liked_items:
+            filter_query_items = user_items
+            if items is not None:
+                filter_query_items = _filter_items_from_sparse_matrix(items, filter_query_items)
+
+        ids, scores = topk(
+            item_factors,
+            user,
+            N,
+            filter_query_items=filter_query_items,
+            filter_items=filter_items,
+            num_threads=self.num_threads,
+        )
+
+        if np.isscalar(userid):
+            ids, scores = ids[0], scores[0]
+
+        if items is not None:
+            ids = items[ids]
+
+        return ids, scores
+
+    recommend.__doc__ = RecommenderBase.recommend.__doc__
+
+    def _user_factor(self, userid, user_items, recalculate_user=False):
+        if recalculate_user:
+            return self.recalculate_user(userid, user_items)
+        return self.user_factors[userid]
+
+    def _item_factor(self, itemid, item_users, recalculate_item=False):
+        if recalculate_item:
+            return self.recalculate_item(itemid, item_users)
+        return self.item_factors[itemid]
+
+    def recalculate_user(self, userid, user_items):
+        raise NotImplementedError("recalculate_user is not supported with this model")
+
+    def recalculate_item(self, itemid, item_users):
+        raise NotImplementedError("recalculate_item is not supported with this model")
+
+    def similar_users(self, userid, N=10, filter_users=None, users=None):
+        user_factors = self.user_factors
+        norms = self.user_norms
+        norm = norms[userid]
+
+        if users is not None:
+            if filter_users:
+                raise ValueError("Can't set both users and filter_users in similar_users call")
+
+            users = np.array(users)
+            if users.max() >= self.user_factors.shape[0] or users.min() < 0:
+                raise IndexError("Some userids in the users parameter are not in the model")
+            user_factors = user_factors[users]
+            norms = norms[users]
+
+        factor = self.user_factors[userid]
+        ids, scores = self._get_similarity_score(
+            factor, norm, user_factors, norms, N, filter_items=filter_users
+        )
+        if users is not None:
+            ids = users[ids]
+
+        return ids, scores
+
+    similar_users.__doc__ = RecommenderBase.similar_users.__doc__
+
+    def similar_items(
+        self, itemid, N=10, recalculate_item=False, item_users=None, filter_items=None, items=None
+    ):
+        factor = self._item_factor(itemid, item_users, recalculate_item)
+        factors = self.item_factors
+        norms = self.item_norms
+
+        if recalculate_item:
+            if np.isscalar(itemid):
+                norm = np.linalg.norm(factor)
+                norm = norm if norm != 0 else 1e-10
+            else:
+                norm = np.linalg.norm(factor, axis=1)
+                norm[norm == 0] = 1e-10
+        else:
+            norm = norms[itemid]
+
+        if items is not None:
+            if filter_items:
+                raise ValueError("Can't set both items and filter_items in similar_items call")
+
+            items = np.array(items)
+            if items.max() >= self.item_factors.shape[0] or items.min() < 0:
+                raise IndexError("Some itemids in the items parameter are not in the model")
+            factors = factors[items]
+            norms = norms[items]
+
+        ids, scores = self._get_similarity_score(
+            factor, norm, factors, norms, N, filter_items=filter_items
+        )
+        if items is not None:
+            ids = items[ids]
+        return ids, scores
+
+    similar_items.__doc__ = RecommenderBase.similar_items.__doc__
+
+    def _get_similarity_score(self, factor, norm, factors, norms, N, filter_items=None):
+        ids, scores = topk(
+            factors,
+            factor,
+            N,
+            item_norms=norms,
+            filter_items=filter_items,
+            num_threads=self.num_threads,
+        )
+        if np.isscalar(norm):
+            ids, scores = ids[0], scores[0]
+            scores /= norm
+        else:
+            scores /= norm[:, None]
+        return ids, scores
+
+    @property
+    def user_norms(self):
+        if self._user_norms is None:
+            self._user_norms = np.linalg.norm(self.user_factors, axis=-1)
+            self._user_norms[self._user_norms == 0] = 1e-10
+        return self._user_norms
+
+    @property
+    def item_norms(self):
+        if self._item_norms is None:
+            self._item_norms = np.linalg.norm(self.item_factors, axis=-1)
+            self._item_norms[self._item_norms == 0] = 1e-10
+        return self._item_norms
+
+    def _check_fit_errors(self):
+        self._check_factors(self.user_factors, self.item_factors)
+
+
+def _filter_items_from_sparse_matrix(items, query_items):
+    """Remaps ids in query_items down to their positions in the sorted items filter."""
+    filter_query_items = query_items.tocoo()
+
+    positions = np.searchsorted(items, filter_query_items.col)
+    positions = np.clip(positions, 0, len(items) - 1)
+
+    filter_query_items.data[items[positions] != filter_query_items.col] = 0
+    filter_query_items.col = positions
+    filter_query_items.eliminate_zeros()
+    return filter_query_items.tocsr()

@@ -1,0 +1,156 @@
+"""Batched brute-force scored top-k with filtering — the serving engine.
+
+TPU-native equivalent of the reference's three top-k implementations
+(/root/reference/implicit/cpu/topk.pyx:15-67, implicit/cpu/select.h:12-40 and
+implicit/gpu/knn.cu:131-265): one jitted XLA program computing
+
+    scores = queries @ items.T        (MXU GEMM)
+    scores /= item_norms              (optional)
+    scores[filtered] = -FLT_MAX       (scatter masks)
+    lax.top_k(scores, k)
+
+Filter semantics match the reference: filtered entries are written with
+``-FLT_MAX`` (not -inf) so they can still round out results when fewer than k
+candidates survive. Queries are processed in memory-bounded chunks; shapes are
+padded to a small set of buckets so the jit cache stays warm across calls.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_MAX = -float(np.finfo(np.float32).max)
+
+# bound on the score-matrix working set per chunk (float32 elements)
+_MAX_SCORE_ELEMENTS = 1 << 26  # 64M floats = 256MB
+
+
+def _pad_dim(n):
+    """Bucket a dimension to limit jit-cache churn: pow2 up to 1024, then 1024-multiples."""
+    if n <= 8:
+        return 8
+    if n <= 1024:
+        return 1 << int(np.ceil(np.log2(n)))
+    return -(-n // 1024) * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
+def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_norms, use_qf, use_if):
+    scores = jnp.dot(
+        queries, items.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    )
+    if use_norms:
+        scores = scores / norms[None, :]
+    if use_if:
+        scores = scores.at[:, filter_items].set(NEG_MAX, mode="drop")
+    if use_qf:
+        scores = scores.at[qf_rows, qf_cols].set(NEG_MAX, mode="drop")
+    return jax.lax.top_k(scores, k)
+
+
+def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items=None,
+         num_threads=0):
+    """Return the top ``k`` scoring item (ids, distances) for each query row.
+
+    Parameters
+    ----------
+    items : (N, F) array or jax.Array — item factors
+    query : (Q, F) or (F,) array — query factors
+    k : int
+    item_norms : (N,) array, optional — scores are divided by these
+    filter_query_items : csr_matrix, optional — per-query items to exclude
+    filter_items : array_like, optional — items to exclude for all queries
+    num_threads : ignored (API parity; parallelism is the device's job)
+
+    Returns
+    -------
+    (ids, distances) : (Q, k) int32 / float32 numpy arrays. If k exceeds the
+    number of items, the tail is padded with id -1 / score -FLT_MAX.
+    """
+    query = np.asarray(query) if not isinstance(query, jax.Array) else query
+    if query.ndim == 1:
+        query = query.reshape(1, -1)
+
+    q_rows = query.shape[0]
+    n_items = items.shape[0]
+    k_eff = max(1, min(int(k), n_items))
+
+    out_dtype = np.float32
+    ids_out = np.empty((q_rows, k_eff), dtype=np.int32)
+    scores_out = np.empty((q_rows, k_eff), dtype=out_dtype)
+
+    items_dev = jnp.asarray(items, dtype=jnp.float32)
+    norms_dev = (
+        jnp.asarray(item_norms, dtype=jnp.float32)
+        if item_norms is not None
+        else jnp.zeros((1,), dtype=jnp.float32)
+    )
+
+    if filter_items is not None and len(filter_items) > 0:
+        fi = np.asarray(filter_items, dtype=np.int32)
+        fi_padded = np.full(_pad_dim(len(fi)), fi[0], dtype=np.int32)
+        fi_padded[: len(fi)] = fi
+        fi_dev = jnp.asarray(fi_padded)
+        use_if = True
+    else:
+        fi_dev = jnp.zeros((1,), dtype=jnp.int32)
+        use_if = False
+
+    chunk = max(8, min(q_rows, _MAX_SCORE_ELEMENTS // max(n_items, 1)))
+    chunk = _pad_dim(chunk)
+
+    start = 0
+    while start < q_rows:
+        stop = min(start + chunk, q_rows)
+        rows_here = stop - start
+        padded_rows = _pad_dim(rows_here)
+
+        q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
+        q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
+        q_dev = jnp.asarray(q_np)
+
+        if filter_query_items is not None:
+            sub = filter_query_items[start:stop]
+            counts = np.diff(sub.indptr)
+            qf_rows = np.repeat(np.arange(rows_here, dtype=np.int32), counts)
+            qf_cols = np.asarray(sub.indices, dtype=np.int32)
+            nnz = len(qf_cols)
+            padded_nnz = _pad_dim(max(nnz, 1))
+            # pad with out-of-bounds rows so mode='drop' ignores them
+            qf_rows_p = np.full(padded_nnz, padded_rows, dtype=np.int32)
+            qf_cols_p = np.zeros(padded_nnz, dtype=np.int32)
+            qf_rows_p[:nnz] = qf_rows
+            qf_cols_p[:nnz] = qf_cols
+            qf_rows_dev = jnp.asarray(qf_rows_p)
+            qf_cols_dev = jnp.asarray(qf_cols_p)
+            use_qf = True
+        else:
+            qf_rows_dev = jnp.zeros((1,), dtype=jnp.int32)
+            qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
+            use_qf = False
+
+        vals, idx = _topk_core(
+            items_dev,
+            q_dev,
+            norms_dev,
+            qf_rows_dev,
+            qf_cols_dev,
+            fi_dev,
+            k_eff,
+            item_norms is not None,
+            use_qf,
+            use_if,
+        )
+        ids_out[start:stop] = np.asarray(idx)[:rows_here]
+        scores_out[start:stop] = np.asarray(vals)[:rows_here]
+        start = stop
+
+    if k_eff < k:
+        pad_ids = np.full((q_rows, k - k_eff), -1, dtype=np.int32)
+        pad_scores = np.full((q_rows, k - k_eff), NEG_MAX, dtype=out_dtype)
+        ids_out = np.concatenate([ids_out, pad_ids], axis=1)
+        scores_out = np.concatenate([scores_out, pad_scores], axis=1)
+
+    return ids_out, scores_out

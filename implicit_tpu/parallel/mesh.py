@@ -1,0 +1,60 @@
+"""Device mesh setup and sharding placement helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices=None, axis_name="d"):
+    """Creates a 1-D device mesh over the first ``n_devices`` local devices.
+
+    The TPU analogue of the reference's ``num_threads=0`` ("use all cores",
+    /root/reference/implicit/cpu/bpr.pyx:181-183): by default all local
+    devices participate.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        # fall back to the (possibly virtualized) host CPU backend — used to
+        # validate multi-chip sharding without real multi-chip hardware
+        devices = jax.devices("cpu")
+    return Mesh(np.array(devices[:n_devices]), (axis_name,))
+
+
+def shard_buckets(bucketed, mesh, axis_name="d"):
+    """Device-puts a BucketedCSR's chunk tensors sharded over the row axis.
+
+    Each (n_chunks, C, L) tensor is sharded on the C dimension so every chip
+    solves an equal slice of each chunk's rows. Chunks whose C isn't divisible
+    by the mesh size are padded with sentinel rows (which scatters drop).
+
+    Returns a list of (rows, indices, data) jax.Array triples per class.
+    """
+    n = mesh.shape[axis_name]
+    row_sharding = NamedSharding(mesh, P(None, axis_name))
+    entry_sharding = NamedSharding(mesh, P(None, axis_name, None))
+
+    out = []
+    for cls in bucketed.classes:
+        rows, idx, dat = cls.rows, cls.indices, cls.data
+        C = rows.shape[1]
+        if C % n:
+            pad = n - (C % n)
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=bucketed.sentinel)
+            idx = np.pad(idx, ((0, 0), (0, pad), (0, 0)))
+            dat = np.pad(dat, ((0, 0), (0, pad), (0, 0)))
+        out.append(
+            (
+                jax.device_put(rows, row_sharding),
+                jax.device_put(idx, entry_sharding),
+                jax.device_put(dat, entry_sharding),
+            )
+        )
+    return out
+
+
+def replicated(mesh, x):
+    """Device-puts ``x`` replicated over the whole mesh."""
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))

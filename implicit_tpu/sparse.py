@@ -1,0 +1,173 @@
+"""Bucketed, padded CSR tensors — the sparse substrate of the TPU build.
+
+The reference implementation iterates ragged CSR rows with per-thread scalar
+loops (/root/reference/implicit/cpu/_als.pyx:96-142). On TPU that shape of
+computation is hostile to both XLA (dynamic trip counts) and the MXU (scalar
+dots). Instead we re-pack the matrix once, on the host, into a small number of
+*fixed-shape* dense tensors:
+
+- rows are grouped into power-of-two length classes ``L`` (>= 8) by their nnz;
+- each class is split into chunks of ``C`` rows (C chosen so C*L is roughly
+  constant, bounding the working-set of a gathered factor block);
+- a class is stored as stacked arrays ``rows (n, C)``, ``indices (n, C, L)``,
+  ``data (n, C, L)`` padded with sentinel row id ``shape[0]`` (out-of-bounds,
+  so scatters with mode='drop' ignore padding) and index 0 / value 0.
+
+Every consumer then runs a ``lax.scan`` over the ``n`` chunks of each class:
+a handful of compiled programs per dataset, all operating on large static
+batched tensors. Padding entries carry confidence 0 and are masked
+arithmetically inside the kernels.
+"""
+
+import numpy as np
+
+
+def _next_pow2(x):
+    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
+
+
+class BucketClass:
+    """All rows whose nnz fits one padded length L, stacked into chunks."""
+
+    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data", "lengths")
+
+    def __init__(self, L, C, rows, indices, data, lengths):
+        self.L = L
+        self.C = C
+        self.n_chunks = rows.shape[0]
+        self.rows = rows  # (n, C) int32, padded with sentinel (= n_rows)
+        self.indices = indices  # (n, C, L) int32, padded with 0
+        self.data = data  # (n, C, L) float32, padded with 0
+        self.lengths = lengths  # (n, C) int32 actual nnz per row
+
+
+class BucketedCSR:
+    """Host-side bucketed representation of a scipy CSR matrix.
+
+    Parameters
+    ----------
+    csr : scipy.sparse.csr_matrix
+    target_entries : int
+        Rough upper bound on C*L per chunk; with factor dimension f the
+        gathered block a solver materializes is ~ target_entries * f floats.
+    max_chunk_rows : int
+        Upper bound on rows per chunk.
+    """
+
+    def __init__(self, csr, target_entries=1 << 21, max_chunk_rows=8192, min_L=8):
+        n_rows = csr.shape[0]
+        self.shape = csr.shape
+        self.n_rows = n_rows
+        self.nnz = csr.nnz
+        self.sentinel = n_rows
+
+        indptr = np.asarray(csr.indptr)
+        nnz_per_row = np.diff(indptr).astype(np.int64)
+        self.empty_rows = np.where(nnz_per_row == 0)[0].astype(np.int32)
+
+        csr_indices = np.asarray(csr.indices, dtype=np.int32)
+        csr_data = np.asarray(csr.data, dtype=np.float32)
+
+        nonempty = np.where(nnz_per_row > 0)[0]
+        self.classes = []
+        if len(nonempty) == 0:
+            return
+
+        # length class per row: next power of two >= nnz, floored at min_L
+        L_per_row = np.maximum(
+            min_L, (1 << np.ceil(np.log2(nnz_per_row[nonempty])).astype(np.int64))
+        )
+
+        for L in np.unique(L_per_row):
+            L = int(L)
+            sel = nonempty[L_per_row == L]
+            lens = nnz_per_row[sel].astype(np.int32)
+            count = len(sel)
+
+            C = max(8, min(max_chunk_rows, target_entries // L))
+            C = min(C, _next_pow2(count))  # don't over-pad tiny datasets
+            C = max(8, C)
+            n_chunks = -(-count // C)
+            padded_rows = n_chunks * C
+
+            rows = np.full(padded_rows, self.sentinel, dtype=np.int32)
+            rows[:count] = sel
+            lengths = np.zeros(padded_rows, dtype=np.int32)
+            lengths[:count] = lens
+
+            idx = np.zeros((padded_rows, L), dtype=np.int32)
+            dat = np.zeros((padded_rows, L), dtype=np.float32)
+
+            # vectorized ragged -> padded copy
+            total = int(lens.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens, dtype=np.int64) - lens, lens
+            )
+            src = np.repeat(indptr[sel].astype(np.int64), lens) + within
+            flat_pos = np.repeat(np.arange(count, dtype=np.int64) * L, lens) + within
+            idx.reshape(-1)[flat_pos] = csr_indices[src]
+            dat.reshape(-1)[flat_pos] = csr_data[src]
+
+            self.classes.append(
+                BucketClass(
+                    L,
+                    C,
+                    rows.reshape(n_chunks, C),
+                    idx.reshape(n_chunks, C, L),
+                    dat.reshape(n_chunks, C, L),
+                    lengths.reshape(n_chunks, C),
+                )
+            )
+
+    @property
+    def padded_entries(self):
+        return sum(c.n_chunks * c.C * c.L for c in self.classes)
+
+    def to_device(self):
+        """Uploads the chunk tensors to the default device once.
+
+        Training loops must reuse the returned DeviceBuckets across
+        iterations — re-uploading per iteration dominates runtime when the
+        device sits behind a network transport.
+        """
+        return DeviceBuckets(self)
+
+
+class DeviceBuckets:
+    """Device-resident mirror of a BucketedCSR (see BucketedCSR.to_device)."""
+
+    def __init__(self, bucketed):
+        import jax.numpy as jnp
+
+        self.shape = bucketed.shape
+        self.n_rows = bucketed.n_rows
+        self.nnz = bucketed.nnz
+        self.sentinel = bucketed.sentinel
+        self.empty_rows = (
+            jnp.asarray(bucketed.empty_rows) if len(bucketed.empty_rows) else None
+        )
+        self.classes = [
+            DeviceBucketClass(cls) for cls in bucketed.classes
+        ]
+
+
+class DeviceBucketClass:
+    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data", "lengths")
+
+    def __init__(self, cls):
+        import jax.numpy as jnp
+
+        self.L = cls.L
+        self.C = cls.C
+        self.n_chunks = cls.n_chunks
+        self.rows = jnp.asarray(cls.rows)
+        self.indices = jnp.asarray(cls.indices)
+        self.data = jnp.asarray(cls.data)
+        self.lengths = jnp.asarray(cls.lengths)
+
+
+def csr_to_coo_arrays(csr):
+    """Returns (row_ids, col_ids, data) int32/int32/float32 COO arrays of a CSR."""
+    counts = np.diff(csr.indptr)
+    rows = np.repeat(np.arange(csr.shape[0], dtype=np.int32), counts)
+    return rows, np.asarray(csr.indices, dtype=np.int32), np.asarray(csr.data, dtype=np.float32)

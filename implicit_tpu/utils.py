@@ -1,0 +1,107 @@
+"""Shared utilities: CSR coercion, RNG plumbing, result post-processing.
+
+Functional parity with /root/reference/implicit/utils.py (check_csr:159,
+check_random_state:65, augment_inner_product_matrix:86,
+_filter_items_from_results:139, nonzeros:9) re-implemented for the TPU build.
+The BLAS thread-pool warning from the reference is irrelevant here — device
+compute goes through XLA — so it is intentionally absent.
+"""
+
+import time
+import warnings
+
+import numpy as np
+import scipy.sparse
+
+
+class ParameterWarning(Warning):
+    pass
+
+
+def nonzeros(m, row):
+    """Iterates over the (index, value) nonzeros of one row of a CSR matrix."""
+    for index in range(m.indptr[row], m.indptr[row + 1]):
+        yield m.indices[index], m.data[index]
+
+
+def check_csr(user_items):
+    """Coerce input to csr_matrix, warning about the conversion cost."""
+    if not isinstance(user_items, scipy.sparse.csr_matrix):
+        class_name = user_items.__class__.__name__
+        start = time.time()
+        user_items = user_items.tocsr()
+        warnings.warn(
+            f"Method expects CSR input, and was passed {class_name} instead. "
+            f"Converting to CSR took {time.time() - start} seconds",
+            ParameterWarning,
+        )
+    return user_items
+
+
+def check_random_state(random_state):
+    """Normalize an int / None / RandomState / Generator into a numpy Generator."""
+    if isinstance(random_state, np.random.RandomState):
+        # legacy RandomState: derive a Generator seed from it
+        return np.random.default_rng(random_state.randint(2**31))
+    return np.random.default_rng(random_state)
+
+
+def augment_inner_product_matrix(factors):
+    """Transform factors so angular NN search over the result ranks by inner product.
+
+    Appends one dimension per row so every row has the same L2 norm (the
+    "Xbox" Euclidean transformation). Returns (max_norm, augmented_factors).
+    """
+    norms = np.linalg.norm(factors, axis=1)
+    max_norm = norms.max()
+    extra_dimension = np.sqrt(np.maximum(max_norm**2 - norms**2, 0))
+    return max_norm, np.append(factors, extra_dimension.reshape(norms.shape[0], 1), axis=1)
+
+
+def _batch_call(func, ids, *args, N=10, id_dtype=np.int32, score_dtype=np.float32, **kwargs):
+    """Scalar-loop fallback for models without a native batch path.
+
+    Pads short results with id -1 / score -FLT_MAX the same way the reference
+    does (/root/reference/implicit/utils.py:106-136).
+    """
+    output_ids = np.zeros((len(ids), N), dtype=id_dtype)
+    output_scores = np.zeros((len(ids), N), dtype=score_dtype)
+
+    user_items = kwargs.pop("user_items", None)
+    item_users = kwargs.pop("item_users", None)
+
+    for i, idx in enumerate(ids):
+        current_kwargs = kwargs
+        if user_items is not None:
+            current_kwargs = {"user_items": user_items[i], **kwargs}
+        elif item_users is not None:
+            current_kwargs = {"item_users": item_users[i], **kwargs}
+
+        batch_ids, batch_scores = func(idx, *args, N=N, **current_kwargs)
+
+        missing = N - len(batch_ids)
+        if missing > 0:
+            batch_ids = np.append(batch_ids, np.full(missing, -1))
+            batch_scores = np.append(batch_scores, np.full(missing, -np.finfo(np.float32).max))
+
+        output_ids[i] = batch_ids[:N]
+        output_scores[i] = batch_scores[:N]
+
+    return output_ids, output_scores
+
+
+def _filter_items_from_results(queryid, ids, scores, filter_items, N):
+    """Post-filter ids/scores returned over-fetched from an index."""
+    if np.isscalar(queryid):
+        mask = np.isin(ids, filter_items, invert=True)
+        ids, scores = ids[mask][:N], scores[mask][:N]
+    else:
+        rows = len(queryid)
+        filtered_scores = np.zeros((rows, N), dtype=scores.dtype)
+        filtered_ids = np.zeros((rows, N), dtype=ids.dtype)
+        for row in range(rows):
+            mask = np.isin(ids[row], filter_items, invert=True)
+            filtered_ids[row] = ids[row][mask][:N]
+            filtered_scores[row] = scores[row][mask][:N]
+        ids, scores = filtered_ids, filtered_scores
+    return ids, scores

@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The sharded paths must produce the same numbers as the single-device paths —
+sharding is a layout decision, not a semantic one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.sparse import random as sparse_random
+
+from implicit_tpu.ops import als as als_ops
+from implicit_tpu.parallel import create_mesh, shard_buckets, sharded_topk
+from implicit_tpu.parallel.mesh import replicated
+from implicit_tpu.sparse import BucketedCSR
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _random_csr(users=64, items=48, seed=0):
+    mat = sparse_random(
+        users, items, density=0.2, random_state=np.random.RandomState(seed), format="csr"
+    )
+    mat.data = mat.data.astype(np.float32) * 10 + 1
+    return mat
+
+
+def test_sharded_solve_matches_single_device():
+    Cui = _random_csr()
+    users, items = Cui.shape
+    factors = 16
+    rng = np.random.default_rng(0)
+    X0 = rng.random((users, factors), dtype=np.float32) * 0.01
+    Y0 = rng.random((items, factors), dtype=np.float32) * 0.01
+    reg = 0.01
+
+    buckets = BucketedCSR(Cui)
+
+    # single-device result
+    X_single = als_ops.solve_side(jnp.asarray(X0), jnp.asarray(Y0), buckets, reg)
+
+    # sharded over an 8-way mesh
+    mesh = create_mesh(8)
+    chunks = shard_buckets(buckets, mesh)
+    X = replicated(mesh, X0)
+    Y = replicated(mesh, Y0)
+    YtY = als_ops.gramian(Y, reg)
+    for rows, idx, dat in chunks:
+        X = als_ops.cg_solve_scan(X, Y, YtY, rows, idx, dat, cg_steps=3)
+
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_single), atol=1e-5)
+
+
+def test_sharded_topk_matches_single_device():
+    rng = np.random.default_rng(1)
+    items = rng.standard_normal((512, 32), dtype=np.float32)
+    queries = rng.standard_normal((16, 32), dtype=np.float32)
+
+    mesh = create_mesh(8)
+    vals, ids = sharded_topk(replicated(mesh, items), replicated(mesh, queries), 10, mesh)
+
+    scores = queries @ items.T
+    oracle_ids = np.argsort(-scores, axis=1)[:, :10]
+    oracle_vals = np.take_along_axis(scores, oracle_ids, axis=1)
+
+    np.testing.assert_allclose(np.asarray(vals), oracle_vals, atol=1e-5)
+    # ids may differ on exact ties only
+    assert (np.asarray(ids) == oracle_ids).mean() > 0.99
+
+
+def test_sharded_topk_uneven_shards():
+    # item count not divisible by mesh size still must work via padding
+    rng = np.random.default_rng(2)
+    items = rng.standard_normal((496, 16), dtype=np.float32)  # 496 = 8 * 62
+    queries = rng.standard_normal((4, 16), dtype=np.float32)
+
+    mesh = create_mesh(8)
+    vals, ids = sharded_topk(replicated(mesh, items), replicated(mesh, queries), 5, mesh)
+    scores = queries @ items.T
+    oracle = np.sort(scores, axis=1)[:, ::-1][:, :5]
+    np.testing.assert_allclose(np.asarray(vals), oracle, atol=1e-5)
