@@ -58,27 +58,22 @@ def main():
 
     reg = 0.01
 
-    def iteration(X, Y):
-        X = als_ops.solve_side(X, Y, user_buckets, reg, use_cg=True)
-        Y = als_ops.solve_side(Y, X, item_buckets, reg, use_cg=True)
-        return X, Y
-
     def sync(X):
         # fetch a scalar to the host: forces full completion of enqueued work
         # (block_until_ready alone is unreliable over remote transports)
         return float(jnp.sum(X))
 
-    # warmup / compile
+    iters = 5
+
+    # warmup / compile of the fused fit program
     t0 = time.time()
-    X, Y = iteration(X, Y)
+    X, Y = als_ops.fit(X, Y, user_buckets, item_buckets, reg, iterations=iters)
     sync(X)
     warm_s = time.time() - t0
 
-    # timed: 5 iterations, reference-style average
-    iters = 5
+    # timed: the whole 5-iteration fit is ONE device program
     t0 = time.time()
-    for _ in range(iters):
-        X, Y = iteration(X, Y)
+    X, Y = als_ops.fit(X, Y, user_buckets, item_buckets, reg, iterations=iters)
     sync(X)
     s_per_iter = (time.time() - t0) / iters
 

@@ -13,6 +13,7 @@ import heapq
 import logging
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy
@@ -92,6 +93,12 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self._YtY = None
         self._XtX = None
 
+    @property
+    def _compute_dtype(self):
+        # 16-bit storage dtypes request bf16 solver math (the TPU analogue of
+        # the reference GPU's fp16 factor support); otherwise float32
+        return "bfloat16" if np.dtype(self.dtype).itemsize == 2 else "float32"
+
     def fit(self, user_items, show_progress=True, callback=None):
         """Factorizes the user_items matrix.
 
@@ -136,31 +143,45 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         X = jnp.asarray(self.user_factors, dtype=jnp.float32)
         Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
 
+        if not callback:
+            callback = self.fit_callback
+
         log.debug("Running %i ALS iterations", self.iterations)
-        with tqdm(total=self.iterations, disable=not show_progress) as progress:
-            for iteration in range(self.iterations):
-                s = time.time()
-                X = als_ops.solve_side(
-                    X, Y, user_buckets, self.regularization, self.use_cg, self.cg_steps
+        if callback is None and not self.calculate_training_loss:
+            # fast path: the entire fit is one device program (one dispatch)
+            with tqdm(total=self.iterations, disable=not show_progress) as progress:
+                X, Y = als_ops.fit(
+                    X, Y, user_buckets, item_buckets, self.regularization,
+                    self.iterations, self.use_cg, self.cg_steps, self._compute_dtype,
                 )
-                Y = als_ops.solve_side(
-                    Y, X, item_buckets, self.regularization, self.use_cg, self.cg_steps
-                )
-                X.block_until_ready()
-                progress.update(1)
-
-                if self.calculate_training_loss:
-                    loss = als_ops.calculate_loss_bucketed(
-                        user_buckets, X, Y, self.regularization
+                jax.block_until_ready((X, Y))
+                progress.update(self.iterations)
+        else:
+            # per-iteration dispatch so the callback / loss sees each epoch
+            with tqdm(total=self.iterations, disable=not show_progress) as progress:
+                for iteration in range(self.iterations):
+                    s = time.time()
+                    X = als_ops.solve_side(
+                        X, Y, user_buckets, self.regularization, self.use_cg,
+                        self.cg_steps, self._compute_dtype,
                     )
-                    progress.set_postfix({"loss": loss})
-                    if not show_progress:
-                        log.info("loss %.4f", loss)
+                    Y = als_ops.solve_side(
+                        Y, X, item_buckets, self.regularization, self.use_cg,
+                        self.cg_steps, self._compute_dtype,
+                    )
+                    X.block_until_ready()
+                    progress.update(1)
 
-                if not callback:
-                    callback = self.fit_callback
-                if callback:
-                    callback(iteration, time.time() - s, loss)
+                    if self.calculate_training_loss:
+                        loss = als_ops.calculate_loss_bucketed(
+                            user_buckets, X, Y, self.regularization
+                        )
+                        progress.set_postfix({"loss": loss})
+                        if not show_progress:
+                            log.info("loss %.4f", loss)
+
+                    if callback:
+                        callback(iteration, time.time() - s, loss)
 
         # np.array (not asarray): jax.Array views are read-only, but factors
         # must stay mutable for partial_fit_* updates

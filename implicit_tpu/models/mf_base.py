@@ -19,6 +19,11 @@ from ..recommender_base import RecommenderBase
 class MatrixFactorizationBase(RecommenderBase):
     """Common recommend/similar_* functionality on top of factor matrices.
 
+    Factor matrices live on the host as numpy arrays (the public API
+    contract); a device-resident copy is cached per factor matrix so repeated
+    serving calls don't re-upload them — assignment to ``user_factors`` /
+    ``item_factors`` invalidates the cache.
+
     Attributes
     ----------
     item_factors : ndarray — latent factors for each item
@@ -26,10 +31,55 @@ class MatrixFactorizationBase(RecommenderBase):
     """
 
     def __init__(self, num_threads=0):
-        self.item_factors = None
-        self.user_factors = None
+        self._item_factors = None
+        self._user_factors = None
         self._user_norms, self._item_norms = None, None
+        self._item_factors_dev = None
+        self._user_factors_dev = None
         self.num_threads = num_threads
+
+    @property
+    def user_factors(self):
+        return self._user_factors
+
+    @user_factors.setter
+    def user_factors(self, value):
+        self._user_factors = value
+        self._user_factors_dev = None
+
+    @property
+    def item_factors(self):
+        return self._item_factors
+
+    @item_factors.setter
+    def item_factors(self, value):
+        self._item_factors = value
+        self._item_factors_dev = None
+
+    def _invalidate_device_cache(self):
+        self._user_factors_dev = None
+        self._item_factors_dev = None
+
+    def _item_factors_on_device(self):
+        if self._item_factors_dev is None:
+            import jax.numpy as jnp
+
+            self._item_factors_dev = jnp.asarray(self._item_factors, dtype=jnp.float32)
+        return self._item_factors_dev
+
+    def _user_factors_on_device(self):
+        if self._user_factors_dev is None:
+            import jax.numpy as jnp
+
+            self._user_factors_dev = jnp.asarray(self._user_factors, dtype=jnp.float32)
+        return self._user_factors_dev
+
+    def __getstate__(self):
+        # device arrays aren't picklable; drop the caches
+        state = self.__dict__.copy()
+        state["_item_factors_dev"] = None
+        state["_user_factors_dev"] = None
+        return state
 
     def recommend(
         self,
@@ -50,7 +100,8 @@ class MatrixFactorizationBase(RecommenderBase):
 
         user = self._user_factor(userid, user_items, recalculate_user)
 
-        item_factors = self.item_factors
+        # the full-catalog path serves from the cached device copy
+        item_factors = self._item_factors_on_device() if items is None else self.item_factors
 
         if items is not None:
             N = min(N, len(items))
@@ -105,7 +156,7 @@ class MatrixFactorizationBase(RecommenderBase):
         raise NotImplementedError("recalculate_item is not supported with this model")
 
     def similar_users(self, userid, N=10, filter_users=None, users=None):
-        user_factors = self.user_factors
+        user_factors = self._user_factors_on_device() if users is None else self.user_factors
         norms = self.user_norms
         norm = norms[userid]
 
@@ -134,7 +185,7 @@ class MatrixFactorizationBase(RecommenderBase):
         self, itemid, N=10, recalculate_item=False, item_users=None, filter_items=None, items=None
     ):
         factor = self._item_factor(itemid, item_users, recalculate_item)
-        factors = self.item_factors
+        factors = self._item_factors_on_device() if items is None else self.item_factors
         norms = self.item_norms
 
         if recalculate_item:

@@ -1,0 +1,146 @@
+"""ctypes bindings for the native host runtime (see packer.cpp).
+
+The shared object is built lazily with g++ on first use and cached next to
+the source; every entry point has a numpy fallback so the package works
+without a compiler.
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger("implicit_tpu")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "packer.cpp")
+_SO = os.path.join(_HERE, "_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Returns the loaded native library, building it if needed, else None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        lib.pack_ragged.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.csr_transpose.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.topk_rows.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.topk_rows.restype = ctypes.c_int64
+        _lib = lib
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        log.debug("native runtime unavailable, using numpy fallbacks: %s", exc)
+        _lib = None
+    return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_ragged(indptr, indices, data, row_sel, L):
+    """Padded (len(row_sel), L) index/data blocks for the selected CSR rows."""
+    lib = get_lib()
+    count = len(row_sel)
+    if lib is not None:
+        indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+        data32 = np.ascontiguousarray(data, dtype=np.float32)
+        sel32 = np.ascontiguousarray(row_sel, dtype=np.int32)
+        out_idx = np.empty((count, L), dtype=np.int32)
+        out_dat = np.empty((count, L), dtype=np.float32)
+        lib.pack_ragged(
+            _ptr(indptr64, ctypes.c_int64), _ptr(indices32, ctypes.c_int32),
+            _ptr(data32, ctypes.c_float), _ptr(sel32, ctypes.c_int32),
+            count, L, _ptr(out_idx, ctypes.c_int32), _ptr(out_dat, ctypes.c_float),
+        )
+        return out_idx, out_dat
+
+    # numpy fallback: vectorized ragged -> padded scatter
+    indptr = np.asarray(indptr, dtype=np.int64)
+    lens = (indptr[np.asarray(row_sel) + 1] - indptr[np.asarray(row_sel)]).astype(np.int64)
+    out_idx = np.zeros((count, L), dtype=np.int32)
+    out_dat = np.zeros((count, L), dtype=np.float32)
+    total = int(lens.sum())
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        src = np.repeat(indptr[np.asarray(row_sel)], lens) + within
+        flat = np.repeat(np.arange(count, dtype=np.int64) * L, lens) + within
+        out_idx.reshape(-1)[flat] = np.asarray(indices, dtype=np.int32)[src]
+        out_dat.reshape(-1)[flat] = np.asarray(data, dtype=np.float32)[src]
+    return out_idx, out_dat
+
+
+def topk_rows(indptr, indices, data, K, row_offset=0):
+    """Per-row top-K of a CSR block -> (rows, cols, vals) COO triples."""
+    lib = get_lib()
+    rows = len(indptr) - 1
+    if lib is not None:
+        indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+        data64 = np.ascontiguousarray(data, dtype=np.float64)
+        cap = rows * K
+        out_r = np.empty(cap, dtype=np.int32)
+        out_c = np.empty(cap, dtype=np.int32)
+        out_v = np.empty(cap, dtype=np.float64)
+        written = lib.topk_rows(
+            rows, K, _ptr(indptr64, ctypes.c_int64), _ptr(indices32, ctypes.c_int32),
+            _ptr(data64, ctypes.c_double), row_offset,
+            _ptr(out_r, ctypes.c_int32), _ptr(out_c, ctypes.c_int32),
+            _ptr(out_v, ctypes.c_double),
+        )
+        return out_r[:written], out_c[:written], out_v[:written]
+
+    # numpy fallback: per-row argpartition
+    out_r, out_c, out_v = [], [], []
+    indices = np.asarray(indices)
+    data = np.asarray(data)
+    for r in range(rows):
+        lo, hi = indptr[r], indptr[r + 1]
+        if lo == hi:
+            continue
+        vals = data[lo:hi]
+        cols = indices[lo:hi]
+        if len(vals) > K:
+            sel = np.argpartition(vals, -K)[-K:]
+            vals, cols = vals[sel], cols[sel]
+        out_r.append(np.full(len(cols), row_offset + r, dtype=np.int32))
+        out_c.append(cols.astype(np.int32))
+        out_v.append(vals.astype(np.float64))
+    if not out_r:
+        empty = np.array([], dtype=np.int32)
+        return empty, empty.copy(), np.array([], dtype=np.float64)
+    return np.concatenate(out_r), np.concatenate(out_c), np.concatenate(out_v)

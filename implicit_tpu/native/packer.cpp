@@ -1,0 +1,101 @@
+// Native host runtime for implicit_tpu: CSR preprocessing kernels.
+//
+// The TPU owns all model compute; what remains on the host is data-plumbing
+// the reference implements in Cython/C++ (ragged CSR iteration:
+// /root/reference/implicit/cpu/_als.pyx:96-142, top-K selection:
+// implicit/cpu/select.h:12-40, implicit/nearest_neighbours.h:16-34). These
+// are their implicit_tpu equivalents, shaped for our bucketed-padded layout:
+//
+//   pack_ragged    — scatter selected CSR rows into padded (count, L) blocks
+//   csr_transpose  — counting-sort CSR transpose (avoids scipy's temporary
+//                    COO round trip when bucketing both orientations)
+//   topk_rows      — per-row partial-sort top-K over a CSR block (the KNN
+//                    similarity sparsifier)
+//
+// Exposed via ctypes (no pybind11 in the image); Python falls back to numpy
+// when the shared object isn't built.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <utility>
+#include <vector>
+
+extern "C" {
+
+// Fill padded index/data blocks for the selected rows.
+// out_idx/out_dat are (count, L), pre-zeroed by the caller or here.
+void pack_ragged(const int64_t *indptr, const int32_t *indices,
+                 const float *data, const int32_t *row_sel, int64_t count,
+                 int64_t L, int32_t *out_idx, float *out_dat) {
+  for (int64_t r = 0; r < count; ++r) {
+    const int64_t start = indptr[row_sel[r]];
+    const int64_t len = indptr[row_sel[r] + 1] - start;
+    int32_t *oi = out_idx + r * L;
+    float *od = out_dat + r * L;
+    std::memcpy(oi, indices + start, sizeof(int32_t) * len);
+    std::memcpy(od, data + start, sizeof(float) * len);
+    std::memset(oi + len, 0, sizeof(int32_t) * (L - len));
+    std::memset(od + len, 0, sizeof(float) * (L - len));
+  }
+}
+
+// CSR transpose via counting sort: (rows x cols) -> (cols x rows).
+// out_indptr must have cols+1 entries; out_indices/out_data sized nnz.
+void csr_transpose(int64_t rows, int64_t cols, const int64_t *indptr,
+                   const int32_t *indices, const float *data,
+                   int64_t *out_indptr, int32_t *out_indices, float *out_data) {
+  const int64_t nnz = indptr[rows];
+  std::memset(out_indptr, 0, sizeof(int64_t) * (cols + 1));
+  for (int64_t i = 0; i < nnz; ++i) {
+    ++out_indptr[indices[i] + 1];
+  }
+  for (int64_t c = 0; c < cols; ++c) {
+    out_indptr[c + 1] += out_indptr[c];
+  }
+  std::vector<int64_t> next(out_indptr, out_indptr + cols);
+  for (int64_t r = 0; r < rows; ++r) {
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      const int64_t pos = next[indices[i]]++;
+      out_indices[pos] = static_cast<int32_t>(r);
+      out_data[pos] = data[i];
+    }
+  }
+}
+
+// Per-row top-K by value over a CSR block; emits COO triples.
+// out_* arrays must hold rows*K entries; returns number written.
+int64_t topk_rows(int64_t rows, int64_t K, const int64_t *indptr,
+                  const int32_t *indices, const double *data,
+                  int32_t row_offset, int32_t *out_rows, int32_t *out_cols,
+                  double *out_vals) {
+  int64_t written = 0;
+  std::vector<std::pair<double, int32_t>> heap;
+  heap.reserve(K + 1);
+  for (int64_t r = 0; r < rows; ++r) {
+    heap.clear();
+    const int64_t lo = indptr[r], hi = indptr[r + 1];
+    for (int64_t i = lo; i < hi; ++i) {
+      if (static_cast<int64_t>(heap.size()) < K) {
+        heap.emplace_back(data[i], indices[i]);
+        std::push_heap(heap.begin(), heap.end(),
+                       std::greater<std::pair<double, int32_t>>());
+      } else if (data[i] > heap.front().first) {
+        std::pop_heap(heap.begin(), heap.end(),
+                      std::greater<std::pair<double, int32_t>>());
+        heap.back() = {data[i], indices[i]};
+        std::push_heap(heap.begin(), heap.end(),
+                       std::greater<std::pair<double, int32_t>>());
+      }
+    }
+    for (const auto &kv : heap) {
+      out_rows[written] = row_offset + static_cast<int32_t>(r);
+      out_cols[written] = kv.second;
+      out_vals[written] = kv.first;
+      ++written;
+    }
+  }
+  return written;
+}
+
+}  // extern "C"

@@ -37,33 +37,28 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0):
     # block rows so the intermediate product stays memory-bounded
     block = max(1, min(items, int(3.2e7 // max(items, 1)) or 1))
 
+    from . import native
+
     rows_out = []
     cols_out = []
     vals_out = []
     for start in range(0, items, block):
         stop = min(start + block, items)
         sim = (item_users[start:stop] @ user_items).tocsr()
-        indptr, indices, data = sim.indptr, sim.indices, sim.data
-        for r in range(stop - start):
-            lo, hi = indptr[r], indptr[r + 1]
-            if lo == hi:
-                continue
-            row_vals = data[lo:hi]
-            row_cols = indices[lo:hi]
-            if len(row_vals) > K:
-                sel = np.argpartition(row_vals, -K)[-K:]
-                row_vals = row_vals[sel]
-                row_cols = row_cols[sel]
-            rows_out.append(np.full(len(row_cols), start + r, dtype=np.int32))
-            cols_out.append(row_cols.astype(np.int32))
-            vals_out.append(row_vals)
+        r, c, v = native.topk_rows(
+            sim.indptr, sim.indices, sim.data.astype(np.float64), K, row_offset=start
+        )
+        if len(r):
+            rows_out.append(r)
+            cols_out.append(c)
+            vals_out.append(v)
 
     if not rows_out:
         return coo_matrix((items, items), dtype=np.float64)
 
     return coo_matrix(
         (
-            np.concatenate(vals_out).astype(np.float64),
+            np.concatenate(vals_out),
             (np.concatenate(rows_out), np.concatenate(cols_out)),
         ),
         shape=(items, items),

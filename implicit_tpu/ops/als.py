@@ -15,8 +15,19 @@ batched program:
 
 Confidence conventions follow the reference exactly: negative confidences mean
 "disliked" (P=0, C=|c|); padding entries carry c == 0 and are masked so they
-contribute nothing. Chunks are consumed with ``lax.scan`` so each (C, L) shape
-class compiles exactly one program.
+contribute nothing.
+
+Dispatch structure: the single TPU chip here sits behind a network transport
+with ~30ms per call round-trip, so the entire fit — every bucket class of both
+half-iterations, over all iterations — is fused into ONE jitted program
+(:func:`fit_loop`, a ``lax.scan`` over iterations). Per-class entry points are
+kept for incremental solves and the sharded multi-chip path.
+
+``compute_dtype`` selects the precision of the gathered factor blocks:
+float32 (default, matches the reference CPU solver) or bfloat16 (halves HBM
+traffic on the bandwidth-bound matvecs with float32 accumulation — the TPU
+analogue of the reference GPU's fp16 factor support,
+implicit/gpu/_cuda.pyx:167-177).
 """
 
 import functools
@@ -31,6 +42,7 @@ HIGH = jax.lax.Precision.HIGHEST
 @jax.jit
 def gramian(Y, reg):
     """YtY + reg*I, float32, full precision."""
+    Y = Y.astype(jnp.float32)
     YtY = jnp.dot(Y.T, Y, precision=HIGH, preferred_element_type=jnp.float32)
     return YtY + reg * jnp.eye(Y.shape[1], dtype=YtY.dtype)
 
@@ -47,44 +59,45 @@ def _weights(dat):
     return w, bv
 
 
-def _gather_terms(Y, idx, dat):
-    Yu = Y[idx]  # (C, L, F) gather
-    w, bv = _weights(dat)
-    b = jnp.einsum("cl,clf->cf", bv, Yu, precision=HIGH)
-    return Yu, w, b
+def _cg_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
+    """Batched CG solves for every chunk of one bucket class (traceable).
 
-
-@functools.partial(jax.jit, static_argnames=("cg_steps",), donate_argnums=(0,))
-def cg_solve_scan(X, Y, YtY_reg, rows, idx, dat, cg_steps=3):
-    """Run batched CG solves for every chunk of one bucket class.
-
-    X : (U, F) factors being solved (donated, updated rows scattered back)
-    Y : (I, F) fixed factors of the other side
-    YtY_reg : (F, F) gramian of Y plus regularization
+    X : (U, F) float32 factors being solved; updated rows scattered back
+    Yc : (I, F) fixed factors of the other side, already in compute dtype
+    YtY_reg : (F, F) float32 gramian of Y plus regularization
     rows/idx/dat : (n, C) / (n, C, L) / (n, C, L) stacked chunks
+    use_pallas : fuse the sparse matvec passes with the Pallas kernel (TPU)
     """
-    n_rows = X.shape[0]
+    from . import pallas_ops
 
-    def Ax(Yu, w, v):
-        t = jnp.einsum("clf,cf->cl", Yu, v, precision=HIGH)
-        return (
-            jnp.dot(v, YtY_reg, precision=HIGH)
-            + jnp.einsum("cl,clf->cf", w * t, Yu, precision=HIGH)
-        )
+    n_rows = X.shape[0]
+    cdt = Yc.dtype
+    # HIGHEST would force f32 3-pass matmuls, defeating a bf16 compute dtype
+    prec = HIGH if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    if use_pallas:
+        sparse_term = pallas_ops.weighted_matvec
+    else:
+        sparse_term = pallas_ops.weighted_matvec_reference
+
+    def Ax(Yu, w, bv, v):
+        return sparse_term(Yu, w, bv, v, 0.0, 1.0) + jnp.dot(v, YtY_reg, precision=HIGH)
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu, w, b = _gather_terms(Y, cidx, cdat)
+        Yu = Yc[cidx]  # (C, L, F) gather in compute dtype
+        w, bv = _weights(cdat)
         x = X[jnp.clip(crows, 0, n_rows - 1)]
 
-        r = b - Ax(Yu, w, x)
+        # r = b - A x in one fused pass over Yu (+ the dense YtY term)
+        r = sparse_term(Yu, w, bv, x, 1.0, -1.0) - jnp.dot(x, YtY_reg, precision=HIGH)
         p = r
         rsold = jnp.sum(r * r, axis=1)
         active = rsold >= 1e-20
 
         def body(carry, _):
             x, r, p, rsold, active = carry
-            Ap = Ax(Yu, w, p)
+            Ap = Ax(Yu, w, bv, p)
             pAp = jnp.sum(p * Ap, axis=1)
             alpha = jnp.where(active, rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
             x = x + alpha[:, None] * p
@@ -106,15 +119,18 @@ def cg_solve_scan(X, Y, YtY_reg, rows, idx, dat, cg_steps=3):
     return X
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def cho_solve_scan(X, Y, YtY_reg, rows, idx, dat):
+def _cho_class(X, Yc, YtY_reg, rows, idx, dat):
     """Batched dense-normal-equation solves (the Cholesky/`posv` path)."""
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu, w, b = _gather_terms(Y, cidx, cdat)
+        Yu = Yc[cidx]
+        w, bv = _weights(cdat)
+        b = jnp.einsum("cl,clf->cf", bv.astype(Yc.dtype), Yu,
+                       preferred_element_type=jnp.float32, precision=HIGH)
         A = YtY_reg[None] + jnp.einsum(
-            "clf,clg->cfg", Yu * w[..., None], Yu, precision=HIGH
+            "clf,clg->cfg", (Yu * w[..., None].astype(Yc.dtype)), Yu,
+            preferred_element_type=jnp.float32, precision=HIGH,
         )
         x = jnp.linalg.solve(A, b[..., None])[..., 0]
         X = X.at[crows].set(x, mode="drop")
@@ -124,10 +140,82 @@ def cho_solve_scan(X, Y, YtY_reg, rows, idx, dat):
     return X
 
 
-def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3):
+def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
+                     use_pallas):
+    YtY_reg = gramian(Y, reg)
+    Yc = Y.astype(compute_dtype)
+    for crows, cidx, cdat in classes:
+        if use_cg:
+            X = _cg_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps, use_pallas)
+        else:
+            X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat)
+    if empty_rows is not None:
+        X = X.at[empty_rows].set(0.0)
+    return X
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas"),
+    donate_argnums=(0,),
+)
+def _solve_side_jit(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
+                    use_pallas):
+    return _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps,
+                            compute_dtype, use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "use_cg", "cg_steps", "compute_dtype", "use_pallas"),
+    donate_argnums=(0, 1),
+)
+def fit_loop(
+    X, Y, reg, user_classes, user_empty, item_classes, item_empty,
+    iterations, use_cg, cg_steps, compute_dtype, use_pallas,
+):
+    """The whole ALS fit as one program: scan over alternating half-iterations.
+
+    A single dispatch for the full training run — essential when device
+    round-trips are ~30ms, and it lets XLA overlap the tail of one
+    half-iteration with the head of the next.
+    """
+
+    def body(carry, _):
+        X, Y = carry
+        X = _solve_side_impl(X, Y, reg, user_classes, user_empty, use_cg, cg_steps,
+                             compute_dtype, use_pallas)
+        Y = _solve_side_impl(Y, X, reg, item_classes, item_empty, use_cg, cg_steps,
+                             compute_dtype, use_pallas)
+        return (X, Y), None
+
+    (X, Y), _ = jax.lax.scan(body, (X, Y), None, length=iterations)
+    return X, Y
+
+
+def _class_tuples(buckets):
+    return tuple((c.rows, c.indices, c.data) for c in buckets.classes)
+
+
+def _on_tpu(X):
+    try:
+        return next(iter(X.devices())).platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# The fused Pallas matvec is faster in isolation but currently loses to the
+# einsum formulation inside the full fit program (layout-constraint copies
+# around the custom call) and miscompiles on some Mosaic versions. Off by
+# default until it wins end-to-end; flip for experiments.
+PALLAS_IN_FIT = False
+
+
+def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.float32,
+               use_pallas=None):
     """One ALS half-iteration: re-solve X given Y over bucketed chunks.
 
-    ``buckets`` must be a DeviceBuckets (sparse.BucketedCSR.to_device()) so
+    ``buckets`` should be a DeviceBuckets (sparse.BucketedCSR.to_device()) so
     the interaction tensors are uploaded once per fit, not once per call.
     Mirrors the reference iteration structure (implicit/cpu/als.py:162-177):
     rows with no interactions are zeroed, every other row re-solved.
@@ -136,21 +224,37 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3):
 
     if isinstance(buckets, BucketedCSR):
         buckets = buckets.to_device()
-    YtY_reg = gramian(Y, reg)
-    for cls in buckets.classes:
-        if use_cg:
-            X = cg_solve_scan(X, Y, YtY_reg, cls.rows, cls.indices, cls.data,
-                              cg_steps=cg_steps)
-        else:
-            X = cho_solve_scan(X, Y, YtY_reg, cls.rows, cls.indices, cls.data)
-    if buckets.empty_rows is not None:
-        X = _zero_rows(X, buckets.empty_rows)
-    return X
+    if use_pallas is None:
+        use_pallas = PALLAS_IN_FIT and _on_tpu(X)
+    return _solve_side_jit(
+        X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
+        use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
+    )
+
+
+def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps=3,
+        compute_dtype=jnp.float32, use_pallas=None):
+    """Runs ``iterations`` full ALS iterations as a single device program."""
+    if use_pallas is None:
+        use_pallas = PALLAS_IN_FIT and _on_tpu(X)
+    return fit_loop(
+        X, Y, jnp.float32(reg),
+        _class_tuples(user_buckets), user_buckets.empty_rows,
+        _class_tuples(item_buckets), item_buckets.empty_rows,
+        iterations, use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
+    )
+
+
+# jitted per-class entry points (kept for the sharded multi-chip path and
+# incremental recalculate solves)
+@functools.partial(jax.jit, static_argnames=("cg_steps",), donate_argnums=(0,))
+def cg_solve_scan(X, Y, YtY_reg, rows, idx, dat, cg_steps=3):
+    return _cg_class(X, Y.astype(X.dtype), YtY_reg, rows, idx, dat, cg_steps)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _zero_rows(X, rows):
-    return X.at[rows].set(0.0)
+def cho_solve_scan(X, Y, YtY_reg, rows, idx, dat):
+    return _cho_class(X, Y.astype(X.dtype), YtY_reg, rows, idx, dat)
 
 
 @jax.jit

@@ -1,0 +1,126 @@
+"""Pallas TPU kernels for the ALS hot loop.
+
+The CG solver's cost is dominated by passes over the gathered factor block
+``Yu (C, L, F)``. Composed from XLA einsums, each A-multiply reads the block
+twice (once for ``t = Yu·v``, once for the weighted combine). The fused kernel
+here computes, in ONE pass over the block,
+
+    out[c] = sum_l (alpha * bv[c,l] + beta * w[c,l] * (Yu[c,l]·v[c])) * Yu[c,l]
+
+which with (alpha, beta) = (1, -1) is the sparse part of the CG residual
+``b - A x`` and with (0, 1) the sparse part of ``A p`` — the dense ``v @ YtY``
+term is a cheap matmul added by the caller. This halves HBM traffic of the
+solver versus the einsum formulation (replacing implicit/gpu/als.cu:24-111's
+shared-memory per-block loop with a VMEM-tiled streaming reduction).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *, alpha, beta, nl,
+                            precision):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # products stay in the compute dtype (bf16 halves the VMEM footprint);
+    # reductions accumulate in f32
+    yu = yu_ref[:]  # (BC, BL, F) compute dtype
+    v = v_ref[:].astype(yu.dtype)  # (BC, F)
+    # t[c, l] = Yu[c, l, :] . v[c, :]
+    t = jnp.sum(yu * v[:, None, :], axis=2, dtype=jnp.float32)
+    coeff = alpha * bv_ref[:] + beta * (w_ref[:] * t)  # (BC, BL) f32
+    # acc[c, f] += sum_l coeff[c, l] * Yu[c, l, f]; the broadcast stays f32
+    # (Mosaic miscompiles bf16 (C,L)->(C,L,1) reshapes)
+    acc_ref[:] += jnp.sum(coeff[:, :, None] * yu, axis=1, dtype=jnp.float32)
+
+    @pl.when(li == nl - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _interpret_default():
+    # run the kernel through the Pallas interpreter off-TPU (tests, CPU mesh)
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "beta", "interpret"))
+def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
+    """One-pass sum_l (alpha*bv + beta*w*(Yu.v)) * Yu over the L axis.
+
+    Yu : (C, L, F) gathered factors (float32 or bfloat16)
+    w, bv, v : (C, L), (C, L), (C, F) float32
+    Returns (C, F) float32.
+    """
+    C, L, F = Yu.shape
+
+    # BL: the full L axis when small, else a 128-multiple tile (Mosaic needs
+    # the last block dim divisible by 128 or equal to the array dim)
+    BL = L if L <= 512 else 256
+    # Yu tile budget ~1.5MB: the kernel holds ~2 tile-sized temporaries plus
+    # the double-buffered input inside the 16MB VMEM; BC must be a multiple of 8
+    BC = min(C, (3 << 19) // (BL * F * Yu.dtype.itemsize), 1024)
+    BC = max(8, (BC // 8) * 8)
+    if C % BC:
+        # fall back to the largest multiple-of-8 divisor-aligned tile
+        while C % BC and BC > 8:
+            BC -= 8
+    nc = -(-C // BC)
+    nl = -(-L // BL)
+
+    precision = (
+        jax.lax.Precision.HIGHEST if Yu.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl,
+        precision=precision,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(nc, nl),
+        in_specs=[
+            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BC, F), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * C * L * F,
+            bytes_accessed=C * L * F * Yu.dtype.itemsize + C * L * 8 + C * F * 8,
+            transcendentals=0,
+        ),
+    )(w, bv, v, Yu)
+
+
+def weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret)
+
+
+def weighted_matvec_reference(Yu, w, bv, v, alpha, beta):
+    """jnp oracle for the fused kernel (used on CPU and in tests)."""
+    precision = (
+        jax.lax.Precision.HIGHEST if Yu.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    t = jnp.einsum("clf,cf->cl", Yu, v.astype(Yu.dtype),
+                   preferred_element_type=jnp.float32, precision=precision)
+    coeff = alpha * bv + beta * (w * t)
+    return jnp.einsum("cl,clf->cf", coeff.astype(Yu.dtype), Yu,
+                      preferred_element_type=jnp.float32, precision=precision)

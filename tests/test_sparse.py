@@ -41,9 +41,9 @@ def test_row_partition():
     for cls in bucketed.classes:
         real = cls.rows[cls.rows != bucketed.sentinel]
         seen.extend(real.tolist())
-        # L is a power of two >= every row length in the class
+        # L is a tile-aligned bucket >= every row length in the class
         assert (nnz_per_row[real] <= cls.L).all()
-        assert cls.L & (cls.L - 1) == 0
+        assert cls.L % 8 == 0
 
     # every row appears exactly once across classes + empties
     assert sorted(seen) == list(range(200))
