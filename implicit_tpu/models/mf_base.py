@@ -139,6 +139,44 @@ class MatrixFactorizationBase(RecommenderBase):
 
     recommend.__doc__ = RecommenderBase.recommend.__doc__
 
+    def recommend_all(
+        self,
+        user_items,
+        N=10,
+        recalculate_user=False,
+        filter_already_liked_items=True,
+        filter_items=None,
+        users_items_offset=0,
+    ):
+        """Deprecated: recommend for every user; use recommend with an array instead."""
+        import warnings
+
+        from scipy.sparse import lil_matrix
+
+        warnings.warn(
+            "recommend_all is deprecated. Use recommend with an array of userids instead",
+            DeprecationWarning,
+        )
+
+        userids = np.arange(user_items.shape[0]) + users_items_offset
+        if users_items_offset:
+            adjusted = lil_matrix(
+                (user_items.shape[0] + users_items_offset, user_items.shape[1]),
+                dtype=user_items.dtype,
+            )
+            adjusted[users_items_offset:] = user_items
+            user_items = adjusted.tocsr()
+
+        ids, _ = self.recommend(
+            userids,
+            user_items,
+            N=N,
+            filter_already_liked_items=filter_already_liked_items,
+            filter_items=filter_items,
+            recalculate_user=recalculate_user,
+        )
+        return ids
+
     def _user_factor(self, userid, user_items, recalculate_user=False):
         if recalculate_user:
             return self.recalculate_user(userid, user_items)

@@ -119,8 +119,14 @@ def _cg_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     return X
 
 
-def _cho_class(X, Yc, YtY_reg, rows, idx, dat):
-    """Batched dense-normal-equation solves (the Cholesky/`posv` path)."""
+def _cho_class(X, Yc, YtY_reg, rows, idx, dat, spd=False):
+    """Batched dense-normal-equation solves (the Cholesky/`posv` path).
+
+    ``spd=True`` uses batched Cholesky (~2.4x faster on TPU) and is safe when
+    A is guaranteed well-conditioned (long rows, nonzero regularization);
+    the default LU tolerates the rank-deficient A of tiny/unregularized
+    problems the way the reference's LAPACK fallback effectively does.
+    """
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
@@ -132,7 +138,40 @@ def _cho_class(X, Yc, YtY_reg, rows, idx, dat):
             "clf,clg->cfg", (Yu * w[..., None].astype(Yc.dtype)), Yu,
             preferred_element_type=jnp.float32, precision=HIGH,
         )
-        x = jnp.linalg.solve(A, b[..., None])[..., 0]
+        if spd:
+            x = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(A), True), b[..., None]
+            )[..., 0]
+        else:
+            x = jnp.linalg.solve(A, b[..., None])[..., 0]
+        X = X.at[crows].set(x, mode="drop")
+        return X, None
+
+    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
+    return X
+
+
+def _full_cg_max_l(compute_dtype):
+    """Longest row the tile-resident CG kernel can keep VMEM-resident.
+
+    Rows longer than this solve via the single-pass Cholesky path: their
+    gathered block can't stay on-chip, and there are few enough of them that
+    the batched dense solve is cheap.
+    """
+    return 1024 if jnp.dtype(compute_dtype).itemsize == 2 else 512
+
+
+def _cg_full_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps):
+    """Tile-resident CG for one class: Yu is read from HBM exactly once."""
+    from . import pallas_ops
+
+    n_rows = X.shape[0]
+
+    def chunk_step(X, chunk):
+        crows, cidx, cdat = chunk
+        Yu = Yc[cidx]
+        x0 = X[jnp.clip(crows, 0, n_rows - 1)]
+        x = pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
         X = X.at[crows].set(x, mode="drop")
         return X, None
 
@@ -144,9 +183,16 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
                      use_pallas):
     YtY_reg = gramian(Y, reg)
     Yc = Y.astype(compute_dtype)
+    max_l = _full_cg_max_l(compute_dtype)
     for crows, cidx, cdat in classes:
         if use_cg:
-            X = _cg_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps, use_pallas)
+            if use_pallas and cidx.shape[2] <= max_l:
+                X = _cg_full_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps)
+            elif use_pallas:
+                # very long rows: one MXU pass builds A, dense solve finishes
+                X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat, spd=True)
+            else:
+                X = _cg_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps, False)
         else:
             X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat)
     if empty_rows is not None:
@@ -204,11 +250,10 @@ def _on_tpu(X):
         return False
 
 
-# The fused Pallas matvec is faster in isolation but currently loses to the
-# einsum formulation inside the full fit program (layout-constraint copies
-# around the custom call) and miscompiles on some Mosaic versions. Off by
-# default until it wins end-to-end; flip for experiments.
-PALLAS_IN_FIT = False
+# On TPU the tile-resident CG kernel + single-pass Cholesky for long rows is
+# the fastest verified configuration (0.37 s/iter at last.fm-360k/f=128/bf16
+# vs 0.55 for the einsum formulation); off-TPU the einsum path is used.
+PALLAS_IN_FIT = True
 
 
 def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.float32,
@@ -234,15 +279,23 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
 
 def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps=3,
         compute_dtype=jnp.float32, use_pallas=None):
-    """Runs ``iterations`` full ALS iterations as a single device program."""
+    """Runs ``iterations`` full ALS iterations (two async dispatches each).
+
+    Dispatches are enqueued without host synchronization, so the transport
+    round-trip is paid once per fit, not per iteration. (A fully fused
+    ``fit_loop`` variant exists but XLA's while-loop buffer handling makes it
+    slower than the dispatch loop in practice.)
+    """
     if use_pallas is None:
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
-    return fit_loop(
-        X, Y, jnp.float32(reg),
-        _class_tuples(user_buckets), user_buckets.empty_rows,
-        _class_tuples(item_buckets), item_buckets.empty_rows,
-        iterations, use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
-    )
+    reg = jnp.float32(reg)
+    cdt = jnp.dtype(compute_dtype).name
+    uc, ue = _class_tuples(user_buckets), user_buckets.empty_rows
+    ic, ie = _class_tuples(item_buckets), item_buckets.empty_rows
+    for _ in range(iterations):
+        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas)
+        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas)
+    return X, Y
 
 
 # jitted per-class entry points (kept for the sharded multi-chip path and

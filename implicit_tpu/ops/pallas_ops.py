@@ -68,9 +68,9 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
     # BL: the full L axis when small, else a 128-multiple tile (Mosaic needs
     # the last block dim divisible by 128 or equal to the array dim)
     BL = L if L <= 512 else 256
-    # Yu tile budget ~1.5MB: the kernel holds ~2 tile-sized temporaries plus
+    # Yu tile budget ~2.5MB: the kernel holds ~2 tile-sized temporaries plus
     # the double-buffered input inside the 16MB VMEM; BC must be a multiple of 8
-    BC = min(C, (3 << 19) // (BL * F * Yu.dtype.itemsize), 1024)
+    BC = min(C, (5 << 19) // (BL * F * Yu.dtype.itemsize), 1024)
     BC = max(8, (BC // 8) * 8)
     if C % BC:
         # fall back to the largest multiple-of-8 divisor-aligned tile
@@ -112,6 +112,96 @@ def weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
     return _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret)
+
+
+def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
+    """The ENTIRE per-row CG solve on a VMEM-resident block.
+
+    Reads the gathered factor tile once and runs residual + ``cg_steps``
+    conjugate-gradient iterations without returning to HBM — versus ~8 HBM
+    passes for the composed formulation. Math matches
+    implicit/cpu/_als.pyx:_least_squares_cg:154-248 (warm start, per-row
+    rs < 1e-20 early exit) on a whole (BC, L) block of rows at once.
+    """
+    yu = yu_ref[:]  # (BC, L, F) compute dtype
+    dat = dat_ref[:]  # (BC, L) f32
+    x = x0_ref[:]  # (BC, F) f32
+    yty = yty_ref[:]  # (F, F) f32
+
+    mask = dat != 0
+    w = jnp.where(mask, jnp.abs(dat) - 1.0, 0.0)
+    bv = jnp.maximum(dat, 0.0)
+
+    def tvec(v):
+        # (BC, L): per-row dots yu[c,l,:] . v[c,:]
+        return jnp.sum(yu * v[:, None, :].astype(yu.dtype), axis=2, dtype=jnp.float32)
+
+    def sp(coeff):
+        # (BC, F): sum_l coeff[c,l] * yu[c,l,:]
+        return jnp.sum(coeff[:, :, None] * yu, axis=1, dtype=jnp.float32)
+
+    def dense(v):
+        return jnp.dot(v, yty, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # r = b - A x = sp(bv - w * (yu.x)) - x @ YtY_reg
+    r = sp(bv - w * tvec(x)) - dense(x)
+    p = r
+    rsold = jnp.sum(r * r, axis=1)
+    active = rsold >= 1e-20
+
+    for _ in range(cg_steps):
+        Ap = sp(w * tvec(p)) + dense(p)
+        pAp = jnp.sum(p * Ap, axis=1)
+        alpha = jnp.where(active, rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        rsnew = jnp.sum(r * r, axis=1)
+        still = active & (rsnew >= 1e-20)
+        beta = jnp.where(active, rsnew / jnp.where(active, rsold, 1.0), 0.0)
+        p = jnp.where(still[:, None], r + beta[:, None] * p, p)
+        rsold = jnp.where(still, rsnew, rsold)
+        active = still
+
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
+def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
+    C, L, F = Yu.shape
+    # the whole L axis must fit the tile; BC sized for ~2MB of Yu
+    BC = min(C, (1 << 21) // (L * F * Yu.dtype.itemsize), 512)
+    BC = max(8, (BC // 8) * 8)
+    while C % BC and BC > 8:
+        BC -= 8
+    nc = -(-C // BC)
+
+    kernel = functools.partial(_cg_full_kernel, cg_steps=cg_steps)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((BC, L), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, F), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, F), lambda ci: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, L, F), lambda ci: (ci, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, F), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (cg_steps + 1) * C * L * F,
+            bytes_accessed=C * L * F * Yu.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(dat, x0, YtY_reg, Yu)
+
+
+def cg_solve_full(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
+    """Full warm-started CG solve of one gathered block; returns (C, F) x."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
 
 
 def weighted_matvec_reference(Yu, w, bv, v, alpha, beta):

@@ -75,6 +75,9 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
 
     q_rows = query.shape[0]
     n_items = items.shape[0]
+    if k <= 0:
+        return (np.empty((q_rows, 0), dtype=np.int32),
+                np.empty((q_rows, 0), dtype=np.float32))
     k_eff = max(1, min(int(k), n_items))
 
     out_dtype = np.float32
