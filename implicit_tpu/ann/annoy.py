@@ -87,7 +87,7 @@ class AnnoyModel(RecommenderBase):
                 item_users=item_users, filter_items=filter_items,
             )
 
-        factor = self.model._item_factor(itemid, item_users, recalculate_item)
+        factor = np.asarray(self.model._item_factor(itemid, item_users, recalculate_item))
         if len(np.shape(factor)) != 1:
             factor = np.squeeze(factor)
 
@@ -134,7 +134,7 @@ class AnnoyModel(RecommenderBase):
                 filter_items=filter_items, recalculate_user=recalculate_user, items=items,
             )
 
-        user = self.model._user_factor(userid, user_items, recalculate_user)
+        user = np.asarray(self.model._user_factor(userid, user_items, recalculate_user))
 
         # over-fetch so post-filtering still leaves N results
         count = N

@@ -95,7 +95,7 @@ class NMSLibModel(RecommenderBase):
                 item_users=item_users, filter_items=filter_items,
             )
 
-        factor = self.model._item_factor(itemid, item_users, recalculate_item)
+        factor = np.asarray(self.model._item_factor(itemid, item_users, recalculate_item))
         if len(np.shape(factor)) != 1:
             factor = np.squeeze(factor)
 
@@ -143,7 +143,7 @@ class NMSLibModel(RecommenderBase):
                 filter_items=filter_items, recalculate_user=recalculate_user, items=items,
             )
 
-        user = self.model._user_factor(userid, user_items, recalculate_user)
+        user = np.asarray(self.model._user_factor(userid, user_items, recalculate_user))
 
         count = N
         if filter_items is not None:

@@ -244,6 +244,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self.user_factors[userids] = user_factors
         self._user_norms = None
         self._XtX = None
+        self._user_factors_dev = None  # in-place update: refresh device copy
 
     def partial_fit_items(self, itemids, item_users):
         """Incrementally recalculates factors for the given items, growing storage."""
@@ -262,6 +263,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self.item_factors[itemids] = item_factors
         self._item_norms = None
         self._YtY = None
+        self._item_factors_dev = None  # in-place update: refresh device copy
 
     def explain(self, userid, user_items, itemid, user_weights=None, N=10):
         """Explains why ``itemid`` is recommended to ``userid``.

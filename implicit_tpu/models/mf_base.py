@@ -180,12 +180,19 @@ class MatrixFactorizationBase(RecommenderBase):
     def _user_factor(self, userid, user_items, recalculate_user=False):
         if recalculate_user:
             return self.recalculate_user(userid, user_items)
-        return self.user_factors[userid]
+        # gather stored factors on-device: no host round-trip for the queries
+        dev = self._user_factors_on_device()
+        if np.isscalar(userid):
+            return dev[userid : userid + 1]
+        return dev[np.asarray(userid)]
 
     def _item_factor(self, itemid, item_users, recalculate_item=False):
         if recalculate_item:
             return self.recalculate_item(itemid, item_users)
-        return self.item_factors[itemid]
+        dev = self._item_factors_on_device()
+        if np.isscalar(itemid):
+            return dev[itemid : itemid + 1]
+        return dev[np.asarray(itemid)]
 
     def recalculate_user(self, userid, user_items):
         raise NotImplementedError("recalculate_user is not supported with this model")

@@ -47,6 +47,8 @@ def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_nor
         scores = scores.at[:, filter_items].set(NEG_MAX, mode="drop")
     if use_qf:
         scores = scores.at[qf_rows, qf_cols].set(NEG_MAX, mode="drop")
+    # note: XLA's top_k over even 100k+ columns is a fast partial select on
+    # TPU (~11ms for 1024x160k); blockwise two-stage variants measured slower
     return jax.lax.top_k(scores, k)
 
 
@@ -104,15 +106,22 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
     chunk = max(8, min(q_rows, _MAX_SCORE_ELEMENTS // max(n_items, 1)))
     chunk = _pad_dim(chunk)
 
+    query_on_device = isinstance(query, jax.Array)
+
     start = 0
     while start < q_rows:
         stop = min(start + chunk, q_rows)
         rows_here = stop - start
         padded_rows = _pad_dim(rows_here)
 
-        q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
-        q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
-        q_dev = jnp.asarray(q_np)
+        if query_on_device:
+            # stay on device: pad with zeros without a host round-trip
+            q_dev = jnp.zeros((padded_rows, query.shape[1]), dtype=jnp.float32)
+            q_dev = q_dev.at[:rows_here].set(query[start:stop].astype(jnp.float32))
+        else:
+            q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
+            q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
+            q_dev = jnp.asarray(q_np)
 
         if filter_query_items is not None:
             sub = filter_query_items[start:stop]
