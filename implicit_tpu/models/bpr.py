@@ -194,7 +194,10 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
             self._check_fit_errors()
             return
 
-        batch = int(min(4096, max(64, 1 << int(np.ceil(np.log2(max(samples // 16, 1)))))))
+        # large minibatches: every scan step pays buffer-update traffic over
+        # the full factor matrices, so fewer/bigger steps train much faster;
+        # small datasets keep small batches for closer-to-Hogwild dynamics
+        batch = int(min(65536, max(64, 1 << int(np.ceil(np.log2(max(samples // 64, 1)))))))
         steps = max(1, -(-samples // batch))
         max_row = int(user_counts.max()) if len(user_counts) else 1
         bisect_iters = int(np.ceil(np.log2(max(max_row, 2)))) + 1

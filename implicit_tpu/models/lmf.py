@@ -168,9 +168,11 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
             self._check_fit_errors()
             return
 
-        # bucket with a smaller working set: each chunk also materializes a
-        # (C, L*neg_prop, F) negative block
-        target = max(1 << 13, (1 << 20) // (self.neg_prop + 1))
+        # chunk sizing: each chunk materializes a (C, L*neg_prop, F) negative
+        # block, so bound C*L by a budget of ~128M gathered negative floats;
+        # bigger chunks amortize the per-step factor-buffer update traffic
+        factor_bytes = 4 * (self.factors + 2)
+        target = max(1 << 14, (512 << 20) // (self.neg_prop * factor_bytes))
         user_buckets = BucketedCSR(user_items, target_entries=target).to_device()
         item_buckets = BucketedCSR(item_users, target_entries=target).to_device()
 
