@@ -23,6 +23,7 @@ def AlternatingLeastSquares(
     calculate_training_loss=False,
     num_threads=0,
     random_state=None,
+    mesh=None,
 ):
     """Alternating Least Squares.
 
@@ -55,6 +56,9 @@ def AlternatingLeastSquares(
         Accepted for API parity
     random_state : int, RandomState, Generator or None, optional
         The random state for seeding the initial item and user factors
+    mesh : jax.sharding.Mesh or int, optional
+        Train data-parallel across a device mesh (int = 1-D mesh over that
+        many local devices)
 
     Returns
     -------
@@ -71,4 +75,5 @@ def AlternatingLeastSquares(
         calculate_training_loss=calculate_training_loss,
         num_threads=num_threads,
         random_state=random_state,
+        mesh=mesh,
     )

@@ -59,6 +59,11 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         Accepted for API parity; parallelism comes from the device mesh
     random_state : int, RandomState, Generator or None, optional
         Seeding for the initial factor matrices
+    mesh : jax.sharding.Mesh or int, optional
+        Train data-parallel across a device mesh: interaction chunks shard
+        over the mesh's row axis, factors stay replicated, XLA inserts the
+        ICI collectives. An int builds a 1-D mesh over that many local
+        devices; None (default) trains on the single default device.
     """
 
     def __init__(
@@ -73,6 +78,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         calculate_training_loss=False,
         num_threads=0,
         random_state=None,
+        mesh=None,
     ):
         super().__init__(num_threads=num_threads)
 
@@ -88,6 +94,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self.fit_callback = None
         self.cg_steps = 3
         self.random_state = random_state
+        self.mesh = mesh
 
         # cached f x f gramians
         self._YtY = None
@@ -136,15 +143,28 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         loss = None
 
         s = time.time()
-        user_buckets = BucketedCSR(Cui).to_device()
-        item_buckets = BucketedCSR(Ciu).to_device()
-        log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)
+        if self.mesh is not None:
+            from ..parallel import create_mesh, shard_buckets
+            from ..parallel.mesh import replicated
 
-        X = jnp.asarray(self.user_factors, dtype=jnp.float32)
-        Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
+            user_buckets = shard_buckets(BucketedCSR(Cui), mesh)
+            item_buckets = shard_buckets(BucketedCSR(Ciu), mesh)
+            X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
+            Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
+        else:
+            user_buckets = BucketedCSR(Cui).to_device()
+            item_buckets = BucketedCSR(Ciu).to_device()
+            X = jnp.asarray(self.user_factors, dtype=jnp.float32)
+            Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+        log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)
 
         if not callback:
             callback = self.fit_callback
+
+        # sharded training auto-partitions the einsum formulation; the Pallas
+        # kernel path is single-device only
+        use_pallas = False if self.mesh is not None else None
 
         log.debug("Running %i ALS iterations", self.iterations)
         if callback is None and not self.calculate_training_loss:
@@ -153,6 +173,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                 X, Y = als_ops.fit(
                     X, Y, user_buckets, item_buckets, self.regularization,
                     self.iterations, self.use_cg, self.cg_steps, self._compute_dtype,
+                    use_pallas=use_pallas,
                 )
                 jax.block_until_ready((X, Y))
                 progress.update(self.iterations)
@@ -163,11 +184,11 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                     s = time.time()
                     X = als_ops.solve_side(
                         X, Y, user_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, self._compute_dtype,
+                        self.cg_steps, self._compute_dtype, use_pallas=use_pallas,
                     )
                     Y = als_ops.solve_side(
                         Y, X, item_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, self._compute_dtype,
+                        self.cg_steps, self._compute_dtype, use_pallas=use_pallas,
                     )
                     X.block_until_ready()
                     progress.update(1)

@@ -23,36 +23,64 @@ def create_mesh(n_devices=None, axis_name="d"):
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
+class ShardedBucketClass:
+    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data")
+
+    def __init__(self, L, rows, indices, data):
+        self.L = L
+        self.n_chunks, self.C = rows.shape
+        self.rows = rows
+        self.indices = indices
+        self.data = data
+
+
+class ShardedBuckets:
+    """Mesh-sharded mirror of a BucketedCSR: drop-in for ops.als consumers."""
+
+    def __init__(self, bucketed, mesh, axis_name="d"):
+        n = mesh.shape[axis_name]
+        row_sharding = NamedSharding(mesh, P(None, axis_name))
+        entry_sharding = NamedSharding(mesh, P(None, axis_name, None))
+
+        self.shape = bucketed.shape
+        self.n_rows = bucketed.n_rows
+        self.nnz = bucketed.nnz
+        self.sentinel = bucketed.sentinel
+        self.empty_rows = (
+            jax.device_put(bucketed.empty_rows, NamedSharding(mesh, P()))
+            if len(bucketed.empty_rows)
+            else None
+        )
+
+        self.classes = []
+        for cls in bucketed.classes:
+            rows, idx, dat = cls.rows, cls.indices, cls.data
+            C = rows.shape[1]
+            if C % n:
+                # pad with sentinel rows so every chip gets an equal slice
+                pad = n - (C % n)
+                rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=bucketed.sentinel)
+                idx = np.pad(idx, ((0, 0), (0, pad), (0, 0)))
+                dat = np.pad(dat, ((0, 0), (0, pad), (0, 0)))
+            self.classes.append(
+                ShardedBucketClass(
+                    cls.L,
+                    jax.device_put(rows, row_sharding),
+                    jax.device_put(idx, entry_sharding),
+                    jax.device_put(dat, entry_sharding),
+                )
+            )
+
+
 def shard_buckets(bucketed, mesh, axis_name="d"):
     """Device-puts a BucketedCSR's chunk tensors sharded over the row axis.
 
     Each (n_chunks, C, L) tensor is sharded on the C dimension so every chip
-    solves an equal slice of each chunk's rows. Chunks whose C isn't divisible
-    by the mesh size are padded with sentinel rows (which scatters drop).
-
-    Returns a list of (rows, indices, data) jax.Array triples per class.
+    solves an equal slice of each chunk's rows; XLA inserts the collectives
+    for the replicated-factor gathers/scatters. Returns a ShardedBuckets
+    usable anywhere a DeviceBuckets is (ops.als.fit / solve_side).
     """
-    n = mesh.shape[axis_name]
-    row_sharding = NamedSharding(mesh, P(None, axis_name))
-    entry_sharding = NamedSharding(mesh, P(None, axis_name, None))
-
-    out = []
-    for cls in bucketed.classes:
-        rows, idx, dat = cls.rows, cls.indices, cls.data
-        C = rows.shape[1]
-        if C % n:
-            pad = n - (C % n)
-            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=bucketed.sentinel)
-            idx = np.pad(idx, ((0, 0), (0, pad), (0, 0)))
-            dat = np.pad(dat, ((0, 0), (0, pad), (0, 0)))
-        out.append(
-            (
-                jax.device_put(rows, row_sharding),
-                jax.device_put(idx, entry_sharding),
-                jax.device_put(dat, entry_sharding),
-            )
-        )
-    return out
+    return ShardedBuckets(bucketed, mesh, axis_name)
 
 
 def replicated(mesh, x):

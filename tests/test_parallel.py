@@ -48,10 +48,30 @@ def test_sharded_solve_matches_single_device():
     X = replicated(mesh, X0)
     Y = replicated(mesh, Y0)
     YtY = als_ops.gramian(Y, reg)
-    for rows, idx, dat in chunks:
-        X = als_ops.cg_solve_scan(X, Y, YtY, rows, idx, dat, cg_steps=3)
+    for cls in chunks.classes:
+        X = als_ops.cg_solve_scan(X, Y, YtY, cls.rows, cls.indices, cls.data, cg_steps=3)
 
     np.testing.assert_allclose(np.asarray(X), np.asarray(X_single), atol=1e-5)
+
+
+def test_model_fit_on_mesh():
+    # model-level multi-chip training must match single-device training
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    Cui = _random_csr(users=80, items=60, seed=3)
+
+    single = AlternatingLeastSquares(factors=16, iterations=3, random_state=5)
+    single.fit(Cui, show_progress=False)
+
+    sharded = AlternatingLeastSquares(factors=16, iterations=3, random_state=5, mesh=8)
+    sharded.fit(Cui, show_progress=False)
+
+    np.testing.assert_allclose(
+        sharded.user_factors, single.user_factors, atol=1e-4, rtol=1e-3
+    )
+    ids_a, _ = single.recommend(3, Cui[3])
+    ids_b, _ = sharded.recommend(3, Cui[3])
+    np.testing.assert_array_equal(ids_a, ids_b)
 
 
 def test_sharded_topk_matches_single_device():
