@@ -387,4 +387,55 @@ def user_factor(Y, YtY, Cui, u, regularization, n_factors):
     return np.linalg.solve(A, b)
 
 
+def least_squares(Cui, X, Y, regularization, num_threads=0):
+    """Pure-numpy per-row Cholesky-style solver (slow oracle for the device path)."""
+    users, n_factors = X.shape
+    YtY = Y.T.dot(Y)
+    for u in range(users):
+        X[u] = user_factor(Y, YtY, Cui, u, regularization, n_factors)
+
+
+def least_squares_cg(Cui, X, Y, regularization, num_threads=0, cg_steps=3):
+    """Pure-numpy per-row conjugate-gradient solver (slow oracle).
+
+    Same math as the device kernels: warm start from the current row,
+    ``cg_steps`` iterations, per-row rs < 1e-20 early exit.
+    """
+    users, factors = X.shape
+    YtY = Y.T.dot(Y) + regularization * np.eye(factors, dtype=Y.dtype)
+
+    for u in range(users):
+        x = X[u]
+        r = -YtY.dot(x)
+        for i, confidence in nonzeros(Cui, u):
+            if confidence > 0:
+                r += (confidence - (confidence - 1) * Y[i].dot(x)) * Y[i]
+            else:
+                confidence *= -1
+                r += -(confidence - 1) * Y[i].dot(x) * Y[i]
+
+        p = r.copy()
+        rsold = r.dot(r)
+        if rsold < 1e-20:
+            continue
+
+        for _ in range(cg_steps):
+            Ap = YtY.dot(p)
+            for i, confidence in nonzeros(Cui, u):
+                if confidence < 0:
+                    confidence *= -1
+                Ap += (confidence - 1) * Y[i].dot(p) * Y[i]
+
+            alpha = rsold / p.dot(Ap)
+            x += alpha * p
+            r -= alpha * Ap
+            rsnew = r.dot(r)
+            if rsnew < 1e-20:
+                break
+            p = r + (rsnew / rsold) * p
+            rsold = rsnew
+
+        X[u] = x
+
+
 calculate_loss = als_ops.calculate_loss
