@@ -26,8 +26,7 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *, alpha, beta, nl,
-                            precision):
+def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *, alpha, beta, nl):
     li = pl.program_id(1)
 
     @pl.when(li == 0)
@@ -79,12 +78,8 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
     nc = -(-C // BC)
     nl = -(-L // BL)
 
-    precision = (
-        jax.lax.Precision.HIGHEST if Yu.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
     kernel = functools.partial(
-        _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl,
-        precision=precision,
+        _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl
     )
 
     return pl.pallas_call(
