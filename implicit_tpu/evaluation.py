@@ -52,29 +52,24 @@ def _choose(rng, n, frac):
 
 
 def _take_tails(arr, n, return_complement=False, shuffled=False):
-    """Indices of the last ``n`` occurrences of each integer in ``arr``.
+    """Indices of ``n`` occurrences of each integer in ``arr``.
 
-    ``arr`` must contain consecutive integers starting from some value; with
-    ``shuffled=True`` the selected tails are randomized within each group.
+    Picks the last ``n`` per group in input order, or ``n`` random ones per
+    group with ``shuffled=True``. Groups must cover a consecutive integer
+    range so ``bincount`` indexes line up.
     """
-    idx = arr.argsort()
-    sorted_arr = arr[idx]
+    tiebreak = np.random.random(len(arr)) if shuffled else np.arange(len(arr))
+    order = np.lexsort((tiebreak, arr))
+    sorted_arr = arr[order]
 
-    end = np.bincount(sorted_arr).cumsum() - 1
-    start = end - n
-    ranges = np.linspace(start, end, num=n + 1, dtype=int)[1:]
-
-    if shuffled:
-        shuffled_idx = (sorted_arr + np.random.random(arr.shape)).argsort()
-        tails = shuffled_idx[np.ravel(ranges, order="f")]
-    else:
-        tails = np.ravel(ranges, order="f")
-
-    heads = np.setdiff1d(idx, tails)
+    # distance from each element to the end of its (contiguous, ascending) group
+    group_ends = np.cumsum(np.bincount(sorted_arr))[sorted_arr]
+    pos_from_end = group_ends - 1 - np.arange(len(arr))
+    tails_mask = pos_from_end < n
 
     if return_complement:
-        return idx[tails], idx[heads]
-    return idx[tails]
+        return order[tails_mask], order[~tails_mask]
+    return order[tails_mask]
 
 
 def leave_k_out_split(ratings, K=1, train_only_size=0.0, random_state=None):
