@@ -19,6 +19,7 @@ def BayesianPersonalizedRanking(
     num_threads=0,
     verify_negative_samples=True,
     random_state=None,
+    mesh=None,
 ):
     """Bayesian Personalized Ranking.
 
@@ -61,4 +62,5 @@ def BayesianPersonalizedRanking(
         num_threads=num_threads,
         verify_negative_samples=verify_negative_samples,
         random_state=random_state,
+        mesh=mesh,
     )

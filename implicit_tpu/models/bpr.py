@@ -114,6 +114,100 @@ def _bpr_epoch(
     return X, Y, correct, skipped
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters):
+    """Compiled multi-chip BPR epoch (cached per mesh/config).
+
+    Each chip draws and verifies its slice of the minibatch (the per-sample
+    work: RNG, negative-membership binary search, score/logit math), then the
+    verified sample indices and logits ride one all-gather over ICI —
+    O(batch) scalars, not factor rows — and every chip applies the identical
+    full-batch update to its factor replica. Replicas stay bit-identical, so
+    training is deterministic across any mesh size.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def epoch(X, Y, userids, itemids, indptr, key, lr, reg):
+        dev = jax.lax.axis_index(axis_name)
+        n_samples = userids.shape[0]
+        factors = X.shape[1] - 1
+        user_grad_mask = jnp.ones((X.shape[1],), dtype=X.dtype).at[factors].set(0.0)
+
+        def step(carry, subkey):
+            X, Y, correct, skipped = carry
+            k1, k2 = jax.random.split(jax.random.fold_in(subkey, dev))
+            liked_idx = jax.random.randint(k1, (local_batch,), 0, n_samples)
+            disliked_idx = jax.random.randint(k2, (local_batch,), 0, n_samples)
+
+            u_l = userids[liked_idx]
+            liked_l = itemids[liked_idx]
+            disliked_l = itemids[disliked_idx]
+
+            if verify_neg:
+                skip_l = _segment_member(indptr, itemids, u_l, disliked_l, bisect_iters)
+            else:
+                skip_l = jnp.zeros((local_batch,), dtype=bool)
+
+            score_l = jnp.sum(X[u_l] * (Y[liked_l] - Y[disliked_l]), axis=1)
+            z_l = 1.0 / (1.0 + jnp.exp(score_l))
+
+            # one all-gather of indices + logits: every chip sees the full batch
+            u = jax.lax.all_gather(u_l, axis_name, tiled=True)
+            liked = jax.lax.all_gather(liked_l, axis_name, tiled=True)
+            disliked = jax.lax.all_gather(disliked_l, axis_name, tiled=True)
+            z = jax.lax.all_gather(z_l, axis_name, tiled=True)
+            keep = ~jax.lax.all_gather(skip_l, axis_name, tiled=True)
+
+            correct = correct + jnp.sum((z < 0.5) & keep)
+            skipped = skipped + jnp.sum(~keep)
+
+            xu = X[u]
+            yl = Y[liked]
+            yd = Y[disliked]
+            scale = jnp.where(keep, lr, 0.0)[:, None]
+            dx = (z[:, None] * (yl - yd) - reg * xu) * user_grad_mask
+            dyl = z[:, None] * xu - reg * yl
+            dyd = -z[:, None] * xu - reg * yd
+
+            X = X.at[u].add(scale * dx)
+            Y = Y.at[liked].add(scale * dyl)
+            Y = Y.at[disliked].add(scale * dyd)
+            return (X, Y, correct, skipped), None
+
+        subkeys = jax.random.split(key, steps)
+        (X, Y, correct, skipped), _ = jax.lax.scan(
+            step, (X, Y, jnp.int32(0), jnp.int32(0)), subkeys
+        )
+        return X, Y, correct, skipped
+
+    return epoch
+
+
+def _bpr_epoch_sharded(
+    X, Y, userids, itemids, indptr, key, lr, reg,
+    steps, batch, verify_neg, bisect_iters, mesh, axis_name="d",
+):
+    """Runs one multi-chip BPR epoch (see _build_sharded_epoch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_devices = mesh.shape[axis_name]
+    local_batch = -(-batch // n_devices)
+    rep = NamedSharding(mesh, P())
+
+    args = [jax.device_put(a, rep) for a in (X, Y, userids, itemids, indptr)]
+    epoch = _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters)
+    return epoch(*args, jax.device_put(key, rep), lr, reg)
+
+
 class BayesianPersonalizedRanking(MatrixFactorizationBase):
     """Bayesian Personalized Ranking.
 
@@ -135,6 +229,11 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
     num_threads : int, optional
         API parity; ignored
     random_state : int, RandomState, Generator or None, optional
+    mesh : jax.sharding.Mesh or int, optional
+        Train across a device mesh: each chip samples and verifies its slice
+        of every minibatch, sample indices/logits ride one all-gather, and
+        factor replicas apply identical updates (deterministic). An int
+        builds a 1-D mesh over that many local devices.
     """
 
     def __init__(
@@ -147,6 +246,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         num_threads=0,
         verify_negative_samples=True,
         random_state=None,
+        mesh=None,
     ):
         super().__init__(num_threads=num_threads)
         self.factors = factors
@@ -156,6 +256,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         self.dtype = np.dtype(dtype)
         self.verify_negative_samples = verify_negative_samples
         self.random_state = random_state
+        self.mesh = mesh
 
     def fit(self, user_items, show_progress=True, callback=None):
         """Factorizes the user_items matrix (values treated as binary likes)."""
@@ -210,16 +311,29 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
 
+        mesh = None
+        if self.mesh is not None:
+            from ..parallel import create_mesh
+
+            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
+
         log.debug("Running %i BPR training epochs", self.iterations)
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
             for epoch in range(self.iterations):
                 s = time.time()
                 key, subkey = jax.random.split(key)
-                X, Y, correct, skipped = _bpr_epoch(
-                    X, Y, uids, iids, indptr, subkey,
-                    jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                    steps, batch, self.verify_negative_samples, bisect_iters,
-                )
+                if mesh is not None:
+                    X, Y, correct, skipped = _bpr_epoch_sharded(
+                        X, Y, uids, iids, indptr, subkey,
+                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                        steps, batch, self.verify_negative_samples, bisect_iters, mesh,
+                    )
+                else:
+                    X, Y, correct, skipped = _bpr_epoch(
+                        X, Y, uids, iids, indptr, subkey,
+                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                        steps, batch, self.verify_negative_samples, bisect_iters,
+                    )
                 correct = int(correct)
                 skipped = int(skipped)
                 progress.update(1)

@@ -74,6 +74,29 @@ def test_model_fit_on_mesh():
     np.testing.assert_array_equal(ids_a, ids_b)
 
 
+def test_bpr_fit_on_mesh():
+    # multi-chip BPR: deterministic and passes the checkerboard quality gate
+    from conftest import get_checkerboard
+
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+
+    likes = get_checkerboard(50)
+
+    model = BayesianPersonalizedRanking(
+        factors=31, learning_rate=0.01, regularization=0, random_state=42, mesh=8
+    )
+    model.fit(likes, show_progress=False)
+    ok = sum(int(model.recommend(u, likes[u], N=1)[0][0] == u) for u in range(50))
+    assert ok >= 48
+
+    # same seed + same mesh => bit-identical factors
+    model2 = BayesianPersonalizedRanking(
+        factors=31, learning_rate=0.01, regularization=0, random_state=42, mesh=8
+    )
+    model2.fit(likes, show_progress=False)
+    np.testing.assert_array_equal(model.user_factors, model2.user_factors)
+
+
 def test_sharded_topk_matches_single_device():
     rng = np.random.default_rng(1)
     items = rng.standard_normal((512, 32), dtype=np.float32)
