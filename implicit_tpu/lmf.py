@@ -19,6 +19,7 @@ def LogisticMatrixFactorization(
     use_gpu=None,
     num_threads=0,
     random_state=None,
+    mesh=None,
 ):
     """Logistic Matrix Factorization.
 
@@ -60,4 +61,5 @@ def LogisticMatrixFactorization(
         neg_prop=neg_prop,
         num_threads=num_threads,
         random_state=random_state,
+        mesh=mesh,
     )

@@ -107,6 +107,12 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
     num_threads : int, optional
         API parity; ignored
     random_state : int, RandomState, Generator or None, optional
+    mesh : jax.sharding.Mesh or int, optional
+        Train across a device mesh: interaction chunks (and their sampled
+        negative blocks) shard over the mesh's row axis; each row's AdaGrad
+        update touches only that row, so GSPMD partitions the epoch with
+        replicated factors. An int builds a 1-D mesh over that many local
+        devices.
     """
 
     def __init__(
@@ -119,6 +125,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         neg_prop=30,
         num_threads=0,
         random_state=None,
+        mesh=None,
     ):
         super().__init__(num_threads=num_threads)
         self.factors = factors
@@ -128,6 +135,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         self.dtype = np.dtype(dtype)
         self.neg_prop = neg_prop
         self.random_state = random_state
+        self.mesh = mesh
 
     def fit(self, user_items, show_progress=True, callback=None):
         """Factorizes the user_items matrix (values treated as confidences)."""
@@ -173,15 +181,26 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         # bigger chunks amortize the per-step factor-buffer update traffic
         factor_bytes = 4 * (self.factors + 2)
         target = max(1 << 14, (512 << 20) // (self.neg_prop * factor_bytes))
-        user_buckets = BucketedCSR(user_items, target_entries=target).to_device()
-        item_buckets = BucketedCSR(item_users, target_entries=target).to_device()
+        if self.mesh is not None:
+            from ..parallel import create_mesh, shard_buckets
+            from ..parallel.mesh import replicated
 
-        X = jnp.asarray(self.user_factors, dtype=jnp.float32)
-        Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
+            user_buckets = shard_buckets(BucketedCSR(user_items, target_entries=target), mesh)
+            item_buckets = shard_buckets(BucketedCSR(item_users, target_entries=target), mesh)
+            X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
+            Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
+            cols_u = replicated(mesh, user_items.indices.astype(np.int32))
+            cols_i = replicated(mesh, item_users.indices.astype(np.int32))
+        else:
+            user_buckets = BucketedCSR(user_items, target_entries=target).to_device()
+            item_buckets = BucketedCSR(item_users, target_entries=target).to_device()
+            X = jnp.asarray(self.user_factors, dtype=jnp.float32)
+            Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+            cols_u = jnp.asarray(user_items.indices, dtype=jnp.int32)
+            cols_i = jnp.asarray(item_users.indices, dtype=jnp.int32)
         dssX = jnp.zeros_like(X)
         dssY = jnp.zeros_like(Y)
-        cols_u = jnp.asarray(user_items.indices, dtype=jnp.int32)
-        cols_i = jnp.asarray(item_users.indices, dtype=jnp.int32)
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
         lr = jnp.float32(self.learning_rate)

@@ -24,14 +24,15 @@ def create_mesh(n_devices=None, axis_name="d"):
 
 
 class ShardedBucketClass:
-    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data")
+    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data", "lengths")
 
-    def __init__(self, L, rows, indices, data):
+    def __init__(self, L, rows, indices, data, lengths):
         self.L = L
         self.n_chunks, self.C = rows.shape
         self.rows = rows
         self.indices = indices
         self.data = data
+        self.lengths = lengths
 
 
 class ShardedBuckets:
@@ -54,7 +55,7 @@ class ShardedBuckets:
 
         self.classes = []
         for cls in bucketed.classes:
-            rows, idx, dat = cls.rows, cls.indices, cls.data
+            rows, idx, dat, lens = cls.rows, cls.indices, cls.data, cls.lengths
             C = rows.shape[1]
             if C % n:
                 # pad with sentinel rows so every chip gets an equal slice
@@ -62,12 +63,14 @@ class ShardedBuckets:
                 rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=bucketed.sentinel)
                 idx = np.pad(idx, ((0, 0), (0, pad), (0, 0)))
                 dat = np.pad(dat, ((0, 0), (0, pad), (0, 0)))
+                lens = np.pad(lens, ((0, 0), (0, pad)))
             self.classes.append(
                 ShardedBucketClass(
                     cls.L,
                     jax.device_put(rows, row_sharding),
                     jax.device_put(idx, entry_sharding),
                     jax.device_put(dat, entry_sharding),
+                    jax.device_put(lens, row_sharding),
                 )
             )
 

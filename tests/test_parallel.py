@@ -97,6 +97,18 @@ def test_bpr_fit_on_mesh():
     np.testing.assert_array_equal(model.user_factors, model2.user_factors)
 
 
+def test_lmf_fit_on_mesh():
+    from conftest import get_checkerboard
+
+    from implicit_tpu.lmf import LogisticMatrixFactorization
+
+    likes = get_checkerboard(50)
+    model = LogisticMatrixFactorization(factors=30, random_state=23, mesh=8)
+    model.fit(likes, show_progress=False)
+    ok = sum(int(model.recommend(u, likes[u], N=1)[0][0] == u) for u in range(50))
+    assert ok >= 48
+
+
 def test_sharded_topk_matches_single_device():
     rng = np.random.default_rng(1)
     items = rng.standard_normal((512, 32), dtype=np.float32)
