@@ -67,9 +67,10 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
     # BL: the full L axis when small, else a 128-multiple tile (Mosaic needs
     # the last block dim divisible by 128 or equal to the array dim)
     BL = L if L <= 512 else 256
-    # Yu tile budget ~2.5MB: the kernel holds ~2 tile-sized temporaries plus
-    # the double-buffered input inside the 16MB VMEM; BC must be a multiple of 8
-    BC = min(C, (5 << 19) // (BL * F * Yu.dtype.itemsize), 1024)
+    # size by PHYSICAL footprint (last dim lane-padded to 128): the kernel
+    # holds ~2 tile-sized f32 temporaries plus the double-buffered input
+    F_pad = -(-F // 128) * 128
+    BC = min(C, (1 << 20) // (BL * F_pad), 1024)
     BC = max(8, (BC // 8) * 8)
     if C % BC:
         # fall back to the largest multiple-of-8 divisor-aligned tile
@@ -145,6 +146,8 @@ def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
     rsold = jnp.sum(r * r, axis=1)
     active = rsold >= 1e-20
 
+    # unrolled (lax loops don't legalize in Mosaic here); the BC sizing in
+    # _cg_full_call accounts for the live tile-sized temporaries
     for _ in range(cg_steps):
         Ap = sp(w * tvec(p)) + dense(p)
         pAp = jnp.sum(p * Ap, axis=1)
@@ -164,8 +167,11 @@ def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
 @functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
 def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
     C, L, F = Yu.shape
-    # the whole L axis must fit the tile; BC sized for ~2MB of Yu
-    BC = min(C, (1 << 21) // (L * F * Yu.dtype.itemsize), 512)
+    # the whole L axis must fit the tile. Size BC by the PHYSICAL footprint:
+    # the last dim is lane-padded to 128, and ~2 f32 tile-sized temporaries
+    # are live at once, so keep BC*L*Fpad around 1M elements (VMEM is 16MB)
+    F_pad = -(-F // 128) * 128
+    BC = min(C, (1 << 20) // (L * F_pad), 512)
     BC = max(8, (BC // 8) * 8)
     while C % BC and BC > 8:
         BC -= 8
