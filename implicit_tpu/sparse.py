@@ -86,6 +86,9 @@ class BucketedCSR:
         for L in np.unique(L_per_row):
             L = int(L)
             sel = nonempty[L_per_row == L]
+            # order rows by their first column id: consecutive rows then
+            # gather nearby factor rows, improving HBM gather locality
+            sel = sel[np.argsort(csr_indices[indptr[sel]], kind="stable")]
             lens = nnz_per_row[sel].astype(np.int32)
             count = len(sel)
 
