@@ -17,7 +17,6 @@ within a minibatch sum). Same objective, deterministic schedule.
 
 import functools
 import logging
-import multiprocessing
 import time
 
 import jax
