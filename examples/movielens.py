@@ -38,21 +38,21 @@ def calculate_similar_movies(output_filename, model_name="als", min_rating=4.0, 
     ratings.data = np.ones(len(ratings.data))
     log.info("read data file in %.2fs", time.time() - start)
 
-    if model_name == "als":
-        model = AlternatingLeastSquares()
-        ratings = (bm25_weight(ratings, B=0.9) * 5).tocsr()
-    elif model_name == "bpr":
-        model = BayesianPersonalizedRanking()
-    elif model_name == "lmf":
-        model = LogisticMatrixFactorization()
-    elif model_name == "tfidf":
-        model = TFIDFRecommender()
-    elif model_name == "cosine":
-        model = CosineRecommender()
-    elif model_name == "bm25":
-        model = BM25Recommender(B=0.2)
-    else:
+    factories = {
+        "als": AlternatingLeastSquares,
+        "bpr": BayesianPersonalizedRanking,
+        "lmf": LogisticMatrixFactorization,
+        "tfidf": TFIDFRecommender,
+        "cosine": CosineRecommender,
+        "bm25": lambda: BM25Recommender(B=0.2),
+    }
+    if model_name not in factories:
         raise NotImplementedError(f"model {model_name} isn't implemented for this example")
+    model = factories[model_name]()
+
+    if model_name == "als":
+        # ALS benefits from confidence weighting of the binary signals
+        ratings = (bm25_weight(ratings, B=0.9) * 5).tocsr()
 
     user_ratings = ratings.T.tocsr()
 

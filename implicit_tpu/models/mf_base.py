@@ -7,6 +7,11 @@ similar_items with filter_items / items= subsetting semantics, norm caches and
 recalculate hooks — all routed through the single device top-k engine in
 :mod:`implicit_tpu.ops.topk`. Scalar queries are the batch path plus a squeeze
 at the edge, so batch == scalar consistency holds by construction.
+
+Factor matrices live on the host as numpy arrays (the public API contract);
+a device-resident copy is cached per matrix so repeated serving calls don't
+re-upload — assignment to ``user_factors`` / ``item_factors`` invalidates the
+cache.
 """
 
 import numpy as np
@@ -16,13 +21,29 @@ from ..ops.topk import topk
 from ..recommender_base import RecommenderBase
 
 
+def _validate_subset(subset, total, what):
+    """Normalize an items=/users= restriction array, bounds-checked."""
+    subset = np.array(subset)
+    if subset.max() >= total or subset.min() < 0:
+        raise IndexError(f"Some {what} in the parameter are not in the model")
+    return subset
+
+
+def _filter_items_from_sparse_matrix(items, query_items):
+    """Remaps ids in query_items down to their positions in the sorted items filter."""
+    filter_query_items = query_items.tocoo()
+
+    positions = np.searchsorted(items, filter_query_items.col)
+    positions = np.clip(positions, 0, len(items) - 1)
+
+    filter_query_items.data[items[positions] != filter_query_items.col] = 0
+    filter_query_items.col = positions
+    filter_query_items.eliminate_zeros()
+    return filter_query_items.tocsr()
+
+
 class MatrixFactorizationBase(RecommenderBase):
     """Common recommend/similar_* functionality on top of factor matrices.
-
-    Factor matrices live on the host as numpy arrays (the public API
-    contract); a device-resident copy is cached per factor matrix so repeated
-    serving calls don't re-upload them — assignment to ``user_factors`` /
-    ``item_factors`` invalidates the cache.
 
     Attributes
     ----------
@@ -37,6 +58,8 @@ class MatrixFactorizationBase(RecommenderBase):
         self._item_factors_dev = None
         self._user_factors_dev = None
         self.num_threads = num_threads
+
+    # -- factor storage + device cache --------------------------------------
 
     @property
     def user_factors(self):
@@ -56,9 +79,12 @@ class MatrixFactorizationBase(RecommenderBase):
         self._item_factors = value
         self._item_factors_dev = None
 
-    def _invalidate_device_cache(self):
-        self._user_factors_dev = None
-        self._item_factors_dev = None
+    def _user_factors_on_device(self):
+        if self._user_factors_dev is None:
+            import jax.numpy as jnp
+
+            self._user_factors_dev = jnp.asarray(self._user_factors, dtype=jnp.float32)
+        return self._user_factors_dev
 
     def _item_factors_on_device(self):
         if self._item_factors_dev is None:
@@ -67,19 +93,55 @@ class MatrixFactorizationBase(RecommenderBase):
             self._item_factors_dev = jnp.asarray(self._item_factors, dtype=jnp.float32)
         return self._item_factors_dev
 
-    def _user_factors_on_device(self):
-        if self._user_factors_dev is None:
-            import jax.numpy as jnp
-
-            self._user_factors_dev = jnp.asarray(self._user_factors, dtype=jnp.float32)
-        return self._user_factors_dev
-
     def __getstate__(self):
         # device arrays aren't picklable; drop the caches
         state = self.__dict__.copy()
         state["_item_factors_dev"] = None
         state["_user_factors_dev"] = None
         return state
+
+    # -- norms ---------------------------------------------------------------
+
+    @staticmethod
+    def _norms_of(factors):
+        norms = np.linalg.norm(factors, axis=-1)
+        norms[norms == 0] = 1e-10  # avoid divide-by-zero in similarity scoring
+        return norms
+
+    @property
+    def user_norms(self):
+        if self._user_norms is None:
+            self._user_norms = self._norms_of(self.user_factors)
+        return self._user_norms
+
+    @property
+    def item_norms(self):
+        if self._item_norms is None:
+            self._item_norms = self._norms_of(self.item_factors)
+        return self._item_norms
+
+    # -- recalculate hooks (overridden by models that support fold-in) -------
+
+    def recalculate_user(self, userid, user_items):
+        raise NotImplementedError("recalculate_user is not supported with this model")
+
+    def recalculate_item(self, itemid, item_users):
+        raise NotImplementedError("recalculate_item is not supported with this model")
+
+    def _user_factor(self, userid, user_items, recalculate_user=False):
+        if recalculate_user:
+            return self.recalculate_user(userid, user_items)
+        # gather stored factors on-device: no host round-trip for the queries
+        dev = self._user_factors_on_device()
+        return dev[userid : userid + 1] if np.isscalar(userid) else dev[np.asarray(userid)]
+
+    def _item_factor(self, itemid, item_users, recalculate_item=False):
+        if recalculate_item:
+            return self.recalculate_item(itemid, item_users)
+        dev = self._item_factors_on_device()
+        return dev[itemid : itemid + 1] if np.isscalar(itemid) else dev[np.asarray(itemid)]
+
+    # -- recommend -------------------------------------------------------------
 
     def recommend(
         self,
@@ -100,19 +162,16 @@ class MatrixFactorizationBase(RecommenderBase):
 
         user = self._user_factor(userid, user_items, recalculate_user)
 
-        # the full-catalog path serves from the cached device copy
-        item_factors = self._item_factors_on_device() if items is None else self.item_factors
-
         if items is not None:
-            N = min(N, len(items))
             if filter_items:
                 raise ValueError("Can't set both items and filter_items in recommend call")
-
-            items = np.array(items)
+            N = min(N, len(items))
+            items = _validate_subset(items, self.item_factors.shape[0], "itemids")
             items.sort()
-            if items.max() >= self.item_factors.shape[0] or items.min() < 0:
-                raise IndexError("Some itemids in the items parameter in are not in the model")
-            item_factors = item_factors[items]
+            item_factors = self.item_factors[items]
+        else:
+            # the full-catalog path serves from the cached device copy
+            item_factors = self._item_factors_on_device()
 
         filter_query_items = None
         if filter_already_liked_items:
@@ -131,10 +190,8 @@ class MatrixFactorizationBase(RecommenderBase):
 
         if np.isscalar(userid):
             ids, scores = ids[0], scores[0]
-
         if items is not None:
             ids = items[ids]
-
         return ids, scores
 
     recommend.__doc__ = RecommenderBase.recommend.__doc__
@@ -177,52 +234,51 @@ class MatrixFactorizationBase(RecommenderBase):
         )
         return ids
 
-    def _user_factor(self, userid, user_items, recalculate_user=False):
-        if recalculate_user:
-            return self.recalculate_user(userid, user_items)
-        # gather stored factors on-device: no host round-trip for the queries
-        dev = self._user_factors_on_device()
-        if np.isscalar(userid):
-            return dev[userid : userid + 1]
-        return dev[np.asarray(userid)]
+    # -- similarity lookups ------------------------------------------------------
 
-    def _item_factor(self, itemid, item_users, recalculate_item=False):
-        if recalculate_item:
-            return self.recalculate_item(itemid, item_users)
-        dev = self._item_factors_on_device()
-        if np.isscalar(itemid):
-            return dev[itemid : itemid + 1]
-        return dev[np.asarray(itemid)]
+    def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset):
+        """Shared core of similar_users / similar_items.
 
-    def recalculate_user(self, userid, user_items):
-        raise NotImplementedError("recalculate_user is not supported with this model")
+        Scores ``query_factor`` against ``factors`` normalized by ``norms``
+        (cosine against the candidates), optionally restricted to ``subset``,
+        then divides by the query's own norm.
+        """
+        if subset is not None:
+            factors = factors[subset]
+            norms = norms[subset]
 
-    def recalculate_item(self, itemid, item_users):
-        raise NotImplementedError("recalculate_item is not supported with this model")
+        ids, scores = topk(
+            factors,
+            query_factor,
+            N,
+            item_norms=norms,
+            filter_items=filter_ids,
+            num_threads=self.num_threads,
+        )
+
+        if np.isscalar(query_norm):
+            ids, scores = ids[0], scores[0]
+            scores /= query_norm
+        else:
+            scores /= query_norm[:, None]
+
+        if subset is not None:
+            ids = subset[ids]
+        return ids, scores
 
     def similar_users(self, userid, N=10, filter_users=None, users=None):
-        user_factors = self._user_factors_on_device() if users is None else self.user_factors
         norms = self.user_norms
-        norm = norms[userid]
-
         if users is not None:
             if filter_users:
                 raise ValueError("Can't set both users and filter_users in similar_users call")
+            users = _validate_subset(users, self.user_factors.shape[0], "userids")
+            factors = self.user_factors
+        else:
+            factors = self._user_factors_on_device()
 
-            users = np.array(users)
-            if users.max() >= self.user_factors.shape[0] or users.min() < 0:
-                raise IndexError("Some userids in the users parameter are not in the model")
-            user_factors = user_factors[users]
-            norms = norms[users]
-
-        factor = self.user_factors[userid]
-        ids, scores = self._get_similarity_score(
-            factor, norm, user_factors, norms, N, filter_items=filter_users
+        return self._similar(
+            self.user_factors[userid], norms[userid], factors, norms, N, filter_users, users
         )
-        if users is not None:
-            ids = users[ids]
-
-        return ids, scores
 
     similar_users.__doc__ = RecommenderBase.similar_users.__doc__
 
@@ -230,10 +286,10 @@ class MatrixFactorizationBase(RecommenderBase):
         self, itemid, N=10, recalculate_item=False, item_users=None, filter_items=None, items=None
     ):
         factor = self._item_factor(itemid, item_users, recalculate_item)
-        factors = self._item_factors_on_device() if items is None else self.item_factors
         norms = self.item_norms
 
         if recalculate_item:
+            # freshly solved factors aren't covered by the cached norms
             if np.isscalar(itemid):
                 norm = np.linalg.norm(factor)
                 norm = norm if norm != 0 else 1e-10
@@ -246,64 +302,14 @@ class MatrixFactorizationBase(RecommenderBase):
         if items is not None:
             if filter_items:
                 raise ValueError("Can't set both items and filter_items in similar_items call")
+            items = _validate_subset(items, self.item_factors.shape[0], "itemids")
+            factors = self.item_factors
+        else:
+            factors = self._item_factors_on_device()
 
-            items = np.array(items)
-            if items.max() >= self.item_factors.shape[0] or items.min() < 0:
-                raise IndexError("Some itemids in the items parameter are not in the model")
-            factors = factors[items]
-            norms = norms[items]
-
-        ids, scores = self._get_similarity_score(
-            factor, norm, factors, norms, N, filter_items=filter_items
-        )
-        if items is not None:
-            ids = items[ids]
-        return ids, scores
+        return self._similar(factor, norm, factors, norms, N, filter_items, items)
 
     similar_items.__doc__ = RecommenderBase.similar_items.__doc__
 
-    def _get_similarity_score(self, factor, norm, factors, norms, N, filter_items=None):
-        ids, scores = topk(
-            factors,
-            factor,
-            N,
-            item_norms=norms,
-            filter_items=filter_items,
-            num_threads=self.num_threads,
-        )
-        if np.isscalar(norm):
-            ids, scores = ids[0], scores[0]
-            scores /= norm
-        else:
-            scores /= norm[:, None]
-        return ids, scores
-
-    @property
-    def user_norms(self):
-        if self._user_norms is None:
-            self._user_norms = np.linalg.norm(self.user_factors, axis=-1)
-            self._user_norms[self._user_norms == 0] = 1e-10
-        return self._user_norms
-
-    @property
-    def item_norms(self):
-        if self._item_norms is None:
-            self._item_norms = np.linalg.norm(self.item_factors, axis=-1)
-            self._item_norms[self._item_norms == 0] = 1e-10
-        return self._item_norms
-
     def _check_fit_errors(self):
         self._check_factors(self.user_factors, self.item_factors)
-
-
-def _filter_items_from_sparse_matrix(items, query_items):
-    """Remaps ids in query_items down to their positions in the sorted items filter."""
-    filter_query_items = query_items.tocoo()
-
-    positions = np.searchsorted(items, filter_query_items.col)
-    positions = np.clip(positions, 0, len(items) - 1)
-
-    filter_query_items.data[items[positions] != filter_query_items.col] = 0
-    filter_query_items.col = positions
-    filter_query_items.eliminate_zeros()
-    return filter_query_items.tocsr()
