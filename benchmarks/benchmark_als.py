@@ -10,9 +10,14 @@ Run: python benchmarks/benchmark_als.py [--factors 128] [--iterations 5]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# allow running as `python benchmarks/benchmark_als.py` from a source checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def benchmark(factors, iterations, users, items, nnz, configs):
