@@ -1,7 +1,6 @@
 """Device mesh setup and sharding placement helpers."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -87,5 +86,13 @@ def shard_buckets(bucketed, mesh, axis_name="d"):
 
 
 def replicated(mesh, x):
-    """Device-puts ``x`` replicated over the whole mesh."""
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+    """Device-puts ``x`` replicated over the whole mesh.
+
+    Host inputs go straight to the mesh devices — routing through
+    ``jnp.asarray`` first would commit them to the *default* backend, which
+    may be a different (or even unhealthy) accelerator client than the one
+    the mesh lives on.
+    """
+    if not isinstance(x, (jax.Array, np.ndarray)):
+        x = np.asarray(x)
+    return jax.device_put(x, NamedSharding(mesh, P()))
