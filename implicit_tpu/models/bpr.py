@@ -336,7 +336,12 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                 correct = int(correct)
                 skipped = int(skipped)
                 progress.update(1)
-                total = steps * batch
+                if mesh is not None:
+                    # each chip draws ceil(batch/n) samples per step
+                    n_dev = mesh.shape["d"]
+                    total = steps * (-(-batch // n_dev)) * n_dev
+                else:
+                    total = steps * batch
                 if total != 0 and total != skipped:
                     progress.set_postfix(
                         {

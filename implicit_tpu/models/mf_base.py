@@ -258,12 +258,16 @@ class MatrixFactorizationBase(RecommenderBase):
 
         if np.isscalar(query_norm):
             ids, scores = ids[0], scores[0]
-            scores /= query_norm
+            norm = query_norm
         else:
-            scores /= query_norm[:, None]
+            norm = query_norm[:, None]
+        # -FLT_MAX padding entries stay sentinels (dividing them overflows)
+        np.divide(scores, norm, out=scores, where=ids >= 0)
 
         if subset is not None:
-            ids = subset[ids]
+            # topk pads short result rows with id -1; keep the sentinel
+            # rather than letting it wrap to the subset's last element
+            ids = np.where(ids >= 0, subset[ids], -1)
         return ids, scores
 
     def similar_users(self, userid, N=10, filter_users=None, users=None):

@@ -18,10 +18,11 @@ Confidence conventions follow the reference exactly: negative confidences mean
 contribute nothing.
 
 Dispatch structure: the single TPU chip here sits behind a network transport
-with ~30ms per call round-trip, so the entire fit — every bucket class of both
-half-iterations, over all iterations — is fused into ONE jitted program
-(:func:`fit_loop`, a ``lax.scan`` over iterations). Per-class entry points are
-kept for incremental solves and the sharded multi-chip path.
+with ~30ms per call round-trip, so :func:`fit` enqueues every half-iteration
+without host synchronization — the round-trip is paid once per fit. (A fully
+fused whole-fit ``lax.scan`` was measured slower: XLA's while-loop buffer
+handling forces extra copies.) Per-class entry points are kept for
+incremental solves and the sharded multi-chip path.
 
 ``compute_dtype`` selects the precision of the gathered factor blocks:
 float32 (default, matches the reference CPU solver) or bfloat16 (halves HBM
@@ -180,7 +181,7 @@ def _cg_full_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps):
 
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                     use_pallas):
+                     use_pallas, spd_long):
     YtY_reg = gramian(Y, reg)
     Yc = Y.astype(compute_dtype)
     max_l = _full_cg_max_l(compute_dtype)
@@ -189,8 +190,11 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
             if use_pallas and cidx.shape[2] <= max_l:
                 X = _cg_full_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps)
             elif use_pallas:
-                # very long rows: one MXU pass builds A, dense solve finishes
-                X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat, spd=True)
+                # very long rows: one MXU pass builds A, dense solve finishes.
+                # spd_long is False when regularization is 0 — A may then be
+                # rank-deficient and Cholesky would inject NaNs where the
+                # reference CG path would not; LU tolerates it.
+                X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat, spd=spd_long)
             else:
                 X = _cg_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps, False)
         else:
@@ -202,41 +206,13 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas"),
+    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas", "spd_long"),
     donate_argnums=(0,),
 )
 def _solve_side_jit(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                    use_pallas):
+                    use_pallas, spd_long=True):
     return _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps,
-                            compute_dtype, use_pallas)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("iterations", "use_cg", "cg_steps", "compute_dtype", "use_pallas"),
-    donate_argnums=(0, 1),
-)
-def fit_loop(
-    X, Y, reg, user_classes, user_empty, item_classes, item_empty,
-    iterations, use_cg, cg_steps, compute_dtype, use_pallas,
-):
-    """The whole ALS fit as one program: scan over alternating half-iterations.
-
-    A single dispatch for the full training run — essential when device
-    round-trips are ~30ms, and it lets XLA overlap the tail of one
-    half-iteration with the head of the next.
-    """
-
-    def body(carry, _):
-        X, Y = carry
-        X = _solve_side_impl(X, Y, reg, user_classes, user_empty, use_cg, cg_steps,
-                             compute_dtype, use_pallas)
-        Y = _solve_side_impl(Y, X, reg, item_classes, item_empty, use_cg, cg_steps,
-                             compute_dtype, use_pallas)
-        return (X, Y), None
-
-    (X, Y), _ = jax.lax.scan(body, (X, Y), None, length=iterations)
-    return X, Y
+                            compute_dtype, use_pallas, spd_long)
 
 
 def _class_tuples(buckets):
@@ -274,6 +250,7 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
     return _solve_side_jit(
         X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
         use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
+        spd_long=float(reg) > 0,
     )
 
 
@@ -282,19 +259,20 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     """Runs ``iterations`` full ALS iterations (two async dispatches each).
 
     Dispatches are enqueued without host synchronization, so the transport
-    round-trip is paid once per fit, not per iteration. (A fully fused
-    ``fit_loop`` variant exists but XLA's while-loop buffer handling makes it
-    slower than the dispatch loop in practice.)
+    round-trip is paid once per fit, not per iteration.
     """
     if use_pallas is None:
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
+    spd_long = float(reg) > 0
     reg = jnp.float32(reg)
     cdt = jnp.dtype(compute_dtype).name
     uc, ue = _class_tuples(user_buckets), user_buckets.empty_rows
     ic, ie = _class_tuples(item_buckets), item_buckets.empty_rows
     for _ in range(iterations):
-        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas)
-        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas)
+        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas,
+                            spd_long=spd_long)
+        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas,
+                            spd_long=spd_long)
     return X, Y
 
 

@@ -70,3 +70,60 @@ def test_tpu_module():
 
     assert isinstance(tpu.HAS_TPU, bool)
     assert tpu.device_count() >= 0
+
+
+def test_similar_items_small_subset_pads_with_sentinel():
+    # items= subsets smaller than N must pad with id -1, never duplicate a
+    # real id through the sentinel wrapping into the subset array
+    from scipy.sparse import csr_matrix
+
+    from implicit_tpu.als import AlternatingLeastSquares
+    from tests.conftest import get_checkerboard
+
+    likes = csr_matrix(get_checkerboard(10))
+    model = AlternatingLeastSquares(factors=4, iterations=5, random_state=3)
+    model.fit(likes, show_progress=False)
+
+    subset = [1, 2, 4]
+    ids, scores = model.similar_items(1, N=10, items=subset)
+    valid = ids[ids >= 0]
+    assert set(valid) <= set(subset)
+    assert len(valid) == len(set(valid))  # no duplicates
+    assert (ids[len(subset):] == -1).all()
+
+    # batch form keeps the same semantics
+    ids_b, _ = model.similar_items(np.array([1, 3]), N=10, items=subset)
+    for row in ids_b:
+        v = row[row >= 0]
+        assert set(v) <= set(subset)
+        assert len(v) == len(set(v))
+
+
+def test_long_row_solve_finite_without_regularization():
+    # rows longer than the tile-resident CG limit route to the batched dense
+    # solve; with regularization=0 the normal matrix can be rank-deficient,
+    # which must fall back to LU (Cholesky would produce NaNs)
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from implicit_tpu.ops import als as als_ops
+    from implicit_tpu.sparse import BucketedCSR
+
+    rng = np.random.default_rng(0)
+    users, items, factors = 4, 600, 8
+    dense = np.zeros((users, items), dtype=np.float32)
+    dense[:, :550] = rng.random((users, 550)) + 1.0  # L > 512 per row
+    Cui = sp.csr_matrix(dense)
+
+    buckets = BucketedCSR(Cui)
+    assert max(c.L for c in buckets.classes) > als_ops._full_cg_max_l(jnp.float32)
+
+    X = jnp.asarray(rng.random((users, factors), dtype=np.float32))
+    # nearly rank-deficient: Cholesky of A breaks down in f32, LU stays finite
+    Yh = rng.random((items, factors), dtype=np.float32)
+    Yh[:, factors // 2:] = Yh[:, : factors // 2] + 1e-5 * rng.standard_normal(
+        (items, factors // 2)
+    ).astype(np.float32)
+    Y = jnp.asarray(Yh)
+    X = als_ops.solve_side(X, Y, buckets, reg=0.0, use_pallas=True)
+    assert np.isfinite(np.asarray(X)).all()
