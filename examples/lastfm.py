@@ -1,68 +1,65 @@
 """Related-artist and recommendation demo on the last.fm-360k dataset.
 
-TPU-native analogue of /root/reference/examples/lastfm.py: trains any of the
-framework's models on last.fm play counts (downloaded automatically, or
-synthetic with --synthetic in air-gapped environments) and writes out
-similar-artist lists or per-user recommendations.
+Workload parity with the reference's canonical demo
+(/root/reference/examples/lastfm.py), rebuilt around this framework's
+batched-by-construction serving: similar_items / recommend run in batched
+device calls and results are written with vectorized label lookups.
+Supports --synthetic for air-gapped environments.
 """
 
 import argparse
-import codecs
 import logging
 import time
 
 import numpy as np
-import tqdm
-
-from implicit_tpu.als import AlternatingLeastSquares
-from implicit_tpu.approximate_als import (
-    AnnoyAlternatingLeastSquares,
-    FaissAlternatingLeastSquares,
-    NMSLibAlternatingLeastSquares,
-)
-from implicit_tpu.bpr import BayesianPersonalizedRanking
-from implicit_tpu.lmf import LogisticMatrixFactorization
-from implicit_tpu.nearest_neighbours import (
-    BM25Recommender,
-    CosineRecommender,
-    TFIDFRecommender,
-    bm25_weight,
-)
+from tqdm.auto import tqdm
 
 log = logging.getLogger("implicit_tpu.examples")
 
-MODELS = {
-    "als": AlternatingLeastSquares,
-    "nmslib_als": NMSLibAlternatingLeastSquares,
-    "annoy_als": AnnoyAlternatingLeastSquares,
-    "faiss_als": FaissAlternatingLeastSquares,
-    "tfidf": TFIDFRecommender,
-    "cosine": CosineRecommender,
-    "bpr": BayesianPersonalizedRanking,
-    "lmf": LogisticMatrixFactorization,
-    "bm25": BM25Recommender,
-}
+BATCH = 1000
+NEIGHBOURS = 11
 
 
-def get_model(model_name):
-    model_class = MODELS.get(model_name)
-    if not model_class:
-        raise ValueError(f"Unknown Model '{model_name}'")
+def make_model(name):
+    """Builds a model by name with hyperparameters tuned for this dataset."""
+    import implicit_tpu
+    from implicit_tpu import approximate_als, nearest_neighbours
 
-    if model_name.endswith("als"):
-        params = {"factors": 128, "dtype": np.float32}
-    elif model_name == "bm25":
-        params = {"K1": 100, "B": 0.5}
-    elif model_name == "bpr":
-        params = {"factors": 63}
-    elif model_name == "lmf":
-        params = {"factors": 30, "iterations": 40, "regularization": 1.5}
-    else:
-        params = {}
-    return model_class(**params)
+    factories = {
+        "als": lambda: implicit_tpu.als.AlternatingLeastSquares(
+            factors=128, dtype=np.float32
+        ),
+        "nmslib_als": lambda: approximate_als.NMSLibAlternatingLeastSquares(
+            factors=128, dtype=np.float32
+        ),
+        "annoy_als": lambda: approximate_als.AnnoyAlternatingLeastSquares(
+            factors=128, dtype=np.float32
+        ),
+        "faiss_als": lambda: approximate_als.FaissAlternatingLeastSquares(
+            factors=128, dtype=np.float32
+        ),
+        "bpr": lambda: implicit_tpu.bpr.BayesianPersonalizedRanking(factors=63),
+        "lmf": lambda: implicit_tpu.lmf.LogisticMatrixFactorization(
+            factors=30, iterations=40, regularization=1.5
+        ),
+        "cosine": nearest_neighbours.CosineRecommender,
+        "tfidf": nearest_neighbours.TFIDFRecommender,
+        "bm25": lambda: nearest_neighbours.BM25Recommender(K1=100, B=0.5),
+    }
+    try:
+        return factories[name]()
+    except KeyError:
+        raise ValueError(f"Unknown model '{name}' (choose from {sorted(factories)})")
+
+
+MODEL_NAMES = [
+    "als", "nmslib_als", "annoy_als", "faiss_als",
+    "bpr", "lmf", "cosine", "tfidf", "bm25",
+]
 
 
 def load_data(synthetic=False):
+    """Returns (artist labels, user labels, artist x user play counts)."""
     if synthetic:
         from implicit_tpu.datasets.synthetic import generate_synthetic
 
@@ -76,85 +73,82 @@ def load_data(synthetic=False):
     return get_lastfm()
 
 
-def calculate_similar_artists(output_filename, model_name="als", synthetic=False):
-    """Writes a TSV of (artist, similar artist, score) for every artist."""
-    artists, _, plays = load_data(synthetic)
-    model = get_model(model_name)
+def train(model_name, plays, weight_for_als):
+    """Weights the play counts if appropriate and fits the chosen model.
 
-    if model_name.endswith("als"):
-        plays = bm25_weight(plays, K1=100, B=0.8)
+    Returns (model, user x artist likes) — ALS-family models train on
+    BM25-weighted confidences (K1=100, B=0.8, the reference demo's setup).
+    """
+    from implicit_tpu.nearest_neighbours import bm25_weight
+
+    model = make_model(model_name)
+    if weight_for_als and model_name.endswith("als"):
+        plays = bm25_weight(plays, K1=100, B=0.8).tocsr()
+    user_plays = plays.T.tocsr()
+
+    start = time.time()
+    model.fit(user_plays)
+    log.info("trained model '%s' in %.2fs", model_name, time.time() - start)
+    return model, user_plays
+
+
+def write_batch(out, query_labels, result_labels, ids, scores):
+    """Appends one TSV row per (query, result) pair, skipping -1 padding."""
+    for label, row_ids, row_scores in zip(query_labels, ids, scores):
+        keep = row_ids >= 0
+        lines = [
+            f"{label}\t{other}\t{score}\n"
+            for other, score in zip(result_labels[row_ids[keep]], row_scores[keep])
+        ]
+        out.writelines(lines)
+
+
+def export_similar_artists(output_filename, model_name="als", synthetic=False):
+    """TSV of the top similar artists for every artist, popular first."""
+    artists, _, plays = load_data(synthetic)
+    model, _ = train(model_name, plays, weight_for_als=True)
+    if hasattr(model, "approximate_recommend"):
         model.approximate_recommend = False
 
-    plays = plays.tocsr()
-    user_plays = plays.T.tocsr()
+    by_popularity = np.argsort(-np.diff(plays.indptr))
 
-    start = time.time()
-    model.fit(user_plays)
-    log.info("trained model '%s' in %.2fs", model_name, time.time() - start)
-
-    user_count = np.ediff1d(plays.indptr)
-    to_generate = sorted(np.arange(len(artists)), key=lambda x: -user_count[x])
-
-    with tqdm.tqdm(total=len(to_generate)) as progress, codecs.open(
-        output_filename, "w", "utf8"
-    ) as o:
-        batch_size = 1000
-        for startidx in range(0, len(to_generate), batch_size):
-            batch = to_generate[startidx : startidx + batch_size]
-            ids, scores = model.similar_items(batch, 11)
-            for i, artistid in enumerate(batch):
-                artist = artists[artistid]
-                for other, score in zip(ids[i], scores[i]):
-                    o.write(f"{artist}\t{artists[other]}\t{score}\n")
-            progress.update(len(batch))
+    with open(output_filename, "w", encoding="utf8") as out:
+        for start in tqdm(range(0, len(by_popularity), BATCH)):
+            chunk = by_popularity[start : start + BATCH]
+            ids, scores = model.similar_items(chunk, NEIGHBOURS)
+            write_batch(out, artists[chunk], artists, ids, scores)
 
 
-def calculate_recommendations(output_filename, model_name="als", synthetic=False):
-    """Writes a TSV of (user, artist, score) recommendations for every user."""
+def export_recommendations(output_filename, model_name="als", synthetic=False):
+    """TSV of top-10 artist recommendations for every user."""
     artists, users, plays = load_data(synthetic)
-    model = get_model(model_name)
-
-    if model_name.endswith("als"):
-        plays = bm25_weight(plays, K1=100, B=0.8)
+    model, user_plays = train(model_name, plays, weight_for_als=True)
+    if hasattr(model, "approximate_similar_items"):
         model.approximate_similar_items = False
 
-    plays = plays.tocsr()
-    user_plays = plays.T.tocsr()
-
-    start = time.time()
-    model.fit(user_plays)
-    log.info("trained model '%s' in %.2fs", model_name, time.time() - start)
-
-    with tqdm.tqdm(total=len(users)) as progress, codecs.open(
-        output_filename, "w", "utf8"
-    ) as o:
-        batch_size = 1000
-        for startidx in range(0, len(users), batch_size):
-            batch = np.arange(startidx, min(startidx + batch_size, len(users)))
-            ids, scores = model.recommend(batch, user_plays[batch])
-            for i, userid in enumerate(batch):
-                username = users[userid]
-                for other, score in zip(ids[i], scores[i]):
-                    o.write(f"{username}\t{artists[other]}\t{score}\n")
-            progress.update(len(batch))
+    with open(output_filename, "w", encoding="utf8") as out:
+        for start in tqdm(range(0, len(users), BATCH)):
+            chunk = np.arange(start, min(start + BATCH, len(users)))
+            ids, scores = model.recommend(chunk, user_plays[chunk])
+            write_batch(out, users[chunk], artists, ids, scores)
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser(
-        description="Generates similar artists or recommendations on last.fm data"
+        description="Generates similar artists or user recommendations on last.fm data"
     )
-    parser.add_argument("--output", type=str, default="similar-artists.tsv")
-    parser.add_argument("--model", type=str, default="als", choices=MODELS)
-    parser.add_argument(
-        "--recommend", action="store_true", help="recommend for users instead"
-    )
-    parser.add_argument(
-        "--synthetic", action="store_true", help="use synthetic data (no download)"
-    )
+    parser.add_argument("--output", default="similar-artists.tsv")
+    parser.add_argument("--model", default="als", choices=MODEL_NAMES)
+    parser.add_argument("--recommend", action="store_true",
+                        help="recommend artists per user instead of similar artists")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use synthetic data (no download)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.DEBUG)
-    if args.recommend:
-        calculate_recommendations(args.output, model_name=args.model, synthetic=args.synthetic)
-    else:
-        calculate_similar_artists(args.output, model_name=args.model, synthetic=args.synthetic)
+    run = export_recommendations if args.recommend else export_similar_artists
+    run(args.output, model_name=args.model, synthetic=args.synthetic)
+
+
+if __name__ == "__main__":
+    main()

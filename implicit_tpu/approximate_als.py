@@ -19,7 +19,7 @@ def NMSLibAlternatingLeastSquares(
     **kwargs,
 ):
     """ALS model whose serving is accelerated by an NMSLib HNSW index."""
-    # delay importing here in case nmslib isn't installed
+    # import lazily: the ann extras are optional dependencies
     from .ann.nmslib import NMSLibModel
 
     als_model = als.AlternatingLeastSquares(*args, **kwargs)

@@ -1,27 +1,51 @@
 """Download helper with a local cache directory and a progress bar."""
 
 import os
-from urllib.request import urlretrieve
+import tempfile
+from urllib.request import urlopen
 
 from tqdm.auto import tqdm
 
 LOCAL_CACHE_DIR = os.path.join(os.path.expanduser("~"), "implicit_datasets")
 
+_CHUNK_BYTES = 1 << 18
+
 
 def download_file(url, local_filename):
-    """urlretrieve with a tqdm progress bar, creating the target directory."""
+    """Streams ``url`` into ``local_filename``, showing a progress bar.
+
+    The stream is written through a temporary file in the target directory
+    and renamed into place on completion, so an interrupted download never
+    leaves a truncated file behind for :func:`fetch_cached` to mistake for a
+    finished one.
+    """
     local_filename = os.path.abspath(local_filename)
-    path = os.path.dirname(local_filename)
-    if not os.path.isdir(path):
-        os.makedirs(path)
+    directory = os.path.dirname(local_filename)
+    os.makedirs(directory, exist_ok=True)
 
-    with tqdm(unit="B", unit_scale=True) as progress:
-
-        def report(chunk, chunksize, total):
-            progress.total = total
-            progress.update(chunksize)
-
-        return urlretrieve(url, local_filename, reporthook=report)
+    fd, partial = tempfile.mkstemp(dir=directory, suffix=".part")
+    try:
+        with urlopen(url) as response, os.fdopen(fd, "wb") as out:
+            length = response.headers.get("Content-Length")
+            bar = tqdm(
+                total=int(length) if length else None,
+                unit="B",
+                unit_scale=True,
+                desc=os.path.basename(local_filename),
+            )
+            with bar:
+                while True:
+                    chunk = response.read(_CHUNK_BYTES)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    bar.update(len(chunk))
+        os.replace(partial, local_filename)
+    except BaseException:
+        if os.path.exists(partial):
+            os.unlink(partial)
+        raise
+    return local_filename
 
 
 def fetch_cached(url, filename):

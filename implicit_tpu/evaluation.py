@@ -21,27 +21,21 @@ def train_test_split(ratings, train_percentage=0.8, random_state=None):
     Returns (train, test) csr matrices where each nonzero lands in train with
     probability ``train_percentage``. Negative entries are removed from test.
     """
-    ratings = ratings.tocoo()
-    random_state = check_random_state(random_state)
-    random_index = random_state.random(len(ratings.data))
-    train_index = random_index < train_percentage
-    test_index = random_index >= train_percentage
+    rng = check_random_state(random_state)
+    coo = ratings.tocoo()
+    in_train = rng.random(coo.nnz) < train_percentage
 
-    train = csr_matrix(
-        (ratings.data[train_index], (ratings.row[train_index], ratings.col[train_index])),
-        shape=ratings.shape,
-        dtype=ratings.dtype,
-    )
+    def take(keep):
+        return csr_matrix(
+            (coo.data[keep], (coo.row[keep], coo.col[keep])),
+            shape=coo.shape,
+            dtype=coo.dtype,
+        )
 
-    test = csr_matrix(
-        (ratings.data[test_index], (ratings.row[test_index], ratings.col[test_index])),
-        shape=ratings.shape,
-        dtype=ratings.dtype,
-    )
-
+    train, test = take(in_train), take(~in_train)
+    # negative confidences mean "disliked" — those never belong in a test set
     test.data[test.data < 0] = 0
     test.eliminate_zeros()
-
     return train, test
 
 

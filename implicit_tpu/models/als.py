@@ -9,7 +9,6 @@ matmul programs over a :class:`~implicit_tpu.sparse.BucketedCSR` (see
 :mod:`implicit_tpu.ops.als`).
 """
 
-import heapq
 import logging
 import time
 
@@ -22,7 +21,7 @@ from tqdm.auto import tqdm
 
 from ..ops import als as als_ops
 from ..sparse import BucketedCSR
-from ..utils import check_csr, check_random_state, nonzeros
+from ..utils import check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
 log = logging.getLogger("implicit_tpu")
@@ -292,7 +291,9 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         Returns (total_score, top N (itemid, contribution) pairs, user_weights)
         where user_weights is the Cholesky factorization of the user's weighted
         normal-equation matrix (section 5 of the Hu et al. paper), reusable for
-        repeated calls.
+        repeated calls. The per-liked-item contributions are computed as one
+        vectorized gather+matvec over the user's row rather than a scalar heap
+        loop.
         """
         user_items = check_csr(user_items)
         if self.alpha != 1.0:
@@ -303,28 +304,19 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                 self.item_factors, self.YtY, user_items, userid, self.regularization, self.factors
             )
             user_weights = scipy.linalg.cho_factor(A)
-        seed_item = self.item_factors[itemid]
 
-        # weighted_item = y_i^t W_u^-1
-        weighted_item = scipy.linalg.cho_solve(user_weights, seed_item)
+        # the smoothed similarity kernel of the Hu et al. paper: each liked
+        # item j contributes c_uj * (y_i^T A_u^-1 y_j) to item i's score
+        kernel_row = scipy.linalg.cho_solve(user_weights, self.item_factors[itemid])
 
-        total_score = 0.0
-        h = []
-        for other_itemid, confidence in nonzeros(user_items, userid):
-            if confidence < 0:
-                continue
-            factor = self.item_factors[other_itemid]
-            # s_u^ij = (y_i^t W_u^-1 y_j) * c_uj
-            score = weighted_item.dot(factor) * confidence
-            total_score += score
-            contribution = (score, other_itemid)
-            if len(h) < N:
-                heapq.heappush(h, contribution)
-            else:
-                heapq.heappushpop(h, contribution)
+        row = user_items[userid]
+        positive = row.data > 0  # disliked (negative-confidence) items explain nothing
+        liked = row.indices[positive]
+        contributions = (self.item_factors[liked] @ kernel_row) * row.data[positive]
 
-        items = (heapq.heappop(h) for _ in range(len(h)))
-        top_contributions = list((i, s) for s, i in items)[::-1]
+        total_score = float(contributions.sum())
+        best = np.argsort(contributions)[::-1][:N]
+        top_contributions = [(int(liked[j]), float(contributions[j])) for j in best]
         return total_score, top_contributions, user_weights
 
     @property
@@ -366,18 +358,27 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         np.savez(fileobj_or_path, **args)
 
 
-def user_linear_equation(Y, YtY, Cui, u, regularization, n_factors):
-    """Builds the per-user normal equations A x = b (host-side, for explain)."""
-    A = YtY + regularization * np.eye(n_factors)
-    b = np.zeros(n_factors)
+def _user_row(Cui, u):
+    """One CSR row of Cui as (item indices, A-weights |c|-1, b-values c^+).
 
-    for i, confidence in nonzeros(Cui, u):
-        factor = Y[i]
-        if confidence > 0:
-            b += confidence * factor
-        else:
-            confidence *= -1
-        A += (confidence - 1) * np.outer(factor, factor)
+    Encodes the reference confidence convention (negative c = "disliked":
+    weight |c| in A, contribute nothing to b) once, for all host oracles.
+    """
+    lo, hi = Cui.indptr[u], Cui.indptr[u + 1]
+    conf = Cui.data[lo:hi]
+    return Cui.indices[lo:hi], np.abs(conf) - 1.0, np.maximum(conf, 0.0)
+
+
+def user_linear_equation(Y, YtY, Cui, u, regularization, n_factors):
+    """Per-user normal equations ``A x = b``, vectorized over the row.
+
+    A = YtY + reg*I + Yu^T diag(|c|-1) Yu, b = (c^+)^T Yu — the numerical
+    spec the device solvers (ops.als) are tested against.
+    """
+    idx, w, bv = _user_row(Cui, u)
+    Yu = Y[idx]
+    A = YtY + regularization * np.eye(n_factors) + (Yu * w[:, None]).T @ Yu
+    b = bv.astype(np.float64) @ Yu
     return A, b
 
 
@@ -388,9 +389,9 @@ def user_factor(Y, YtY, Cui, u, regularization, n_factors):
 
 
 def least_squares(Cui, X, Y, regularization, num_threads=0):
-    """Pure-numpy per-row Cholesky-style solver (slow oracle for the device path)."""
+    """Pure-numpy row-by-row normal-equation solver (slow oracle)."""
     users, n_factors = X.shape
-    YtY = Y.T.dot(Y)
+    YtY = Y.T @ Y
     for u in range(users):
         X[u] = user_factor(Y, YtY, Cui, u, regularization, n_factors)
 
@@ -398,38 +399,33 @@ def least_squares(Cui, X, Y, regularization, num_threads=0):
 def least_squares_cg(Cui, X, Y, regularization, num_threads=0, cg_steps=3):
     """Pure-numpy per-row conjugate-gradient solver (slow oracle).
 
-    Same math as the device kernels: warm start from the current row,
-    ``cg_steps`` iterations, per-row rs < 1e-20 early exit.
+    Same math as the device kernels: warm start from the current row, A
+    applied implicitly as ``YtY v + Yu^T diag(|c|-1) (Yu v)``, per-row
+    rs < 1e-20 early exit, ``cg_steps`` iterations.
     """
     users, factors = X.shape
-    YtY = Y.T.dot(Y) + regularization * np.eye(factors, dtype=Y.dtype)
+    YtY = Y.T @ Y + regularization * np.eye(factors, dtype=Y.dtype)
 
     for u in range(users):
-        x = X[u]
-        r = -YtY.dot(x)
-        for i, confidence in nonzeros(Cui, u):
-            if confidence > 0:
-                r += (confidence - (confidence - 1) * Y[i].dot(x)) * Y[i]
-            else:
-                confidence *= -1
-                r += -(confidence - 1) * Y[i].dot(x) * Y[i]
+        idx, w, bv = _user_row(Cui, u)
+        Yu = Y[idx]
 
+        def apply_A(v):
+            return YtY @ v + ((Yu @ v) * w) @ Yu
+
+        x = X[u].copy()
+        r = bv.astype(Y.dtype) @ Yu - apply_A(x)
         p = r.copy()
-        rsold = r.dot(r)
+        rsold = r @ r
         if rsold < 1e-20:
             continue
 
         for _ in range(cg_steps):
-            Ap = YtY.dot(p)
-            for i, confidence in nonzeros(Cui, u):
-                if confidence < 0:
-                    confidence *= -1
-                Ap += (confidence - 1) * Y[i].dot(p) * Y[i]
-
-            alpha = rsold / p.dot(Ap)
+            Ap = apply_A(p)
+            alpha = rsold / (p @ Ap)
             x += alpha * p
             r -= alpha * Ap
-            rsnew = r.dot(r)
+            rsnew = r @ r
             if rsnew < 1e-20:
                 break
             p = r + (rsnew / rsold) * p

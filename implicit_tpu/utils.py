@@ -94,49 +94,48 @@ def augment_inner_product_matrix(factors):
 
 
 def _batch_call(func, ids, *args, N=10, id_dtype=np.int32, score_dtype=np.float32, **kwargs):
-    """Scalar-loop fallback for models without a native batch path.
+    """Runs a scalar-only query function once per id and stacks the results.
 
-    Pads short results with id -1 / score -FLT_MAX the same way the reference
-    does (/root/reference/implicit/utils.py:106-136).
+    Fallback batch path for models without a native batched implementation
+    (the reference's behavior for these: /root/reference/implicit/utils.py:106).
+    Result rows shorter than N come back padded with id -1 / score -FLT_MAX.
     """
-    output_ids = np.zeros((len(ids), N), dtype=id_dtype)
-    output_scores = np.zeros((len(ids), N), dtype=score_dtype)
+    out_ids = np.full((len(ids), N), -1, dtype=id_dtype)
+    out_scores = np.full(
+        (len(ids), N), -np.finfo(np.float32).max, dtype=score_dtype
+    )
 
-    user_items = kwargs.pop("user_items", None)
-    item_users = kwargs.pop("item_users", None)
+    # sparse per-query state (the user's likes / the item's users) is passed
+    # as one matrix for the whole batch; each scalar call gets its own row
+    per_query = {
+        name: kwargs.pop(name)
+        for name in ("user_items", "item_users")
+        if kwargs.get(name) is not None
+    }
+    kwargs.pop("user_items", None)
+    kwargs.pop("item_users", None)
 
-    for i, idx in enumerate(ids):
-        current_kwargs = kwargs
-        if user_items is not None:
-            current_kwargs = {"user_items": user_items[i], **kwargs}
-        elif item_users is not None:
-            current_kwargs = {"item_users": item_users[i], **kwargs}
+    for row, query in enumerate(ids):
+        call_kwargs = {name: mat[row] for name, mat in per_query.items()}
+        call_kwargs.update(kwargs)
+        got_ids, got_scores = func(query, *args, N=N, **call_kwargs)
+        n = min(N, len(got_ids))
+        out_ids[row, :n] = got_ids[:n]
+        out_scores[row, :n] = got_scores[:n]
 
-        batch_ids, batch_scores = func(idx, *args, N=N, **current_kwargs)
-
-        missing = N - len(batch_ids)
-        if missing > 0:
-            batch_ids = np.append(batch_ids, np.full(missing, -1))
-            batch_scores = np.append(batch_scores, np.full(missing, -np.finfo(np.float32).max))
-
-        output_ids[i] = batch_ids[:N]
-        output_scores[i] = batch_scores[:N]
-
-    return output_ids, output_scores
+    return out_ids, out_scores
 
 
 def _filter_items_from_results(queryid, ids, scores, filter_items, N):
-    """Post-filter ids/scores returned over-fetched from an index."""
+    """Drops ``filter_items`` from over-fetched results and trims to N.
+
+    Callers request ``N + len(filter_items)`` candidates, so at least N
+    survivors always remain per row.
+    """
+    keep = ~np.isin(ids, filter_items)
     if np.isscalar(queryid):
-        mask = np.isin(ids, filter_items, invert=True)
-        ids, scores = ids[mask][:N], scores[mask][:N]
-    else:
-        rows = len(queryid)
-        filtered_scores = np.zeros((rows, N), dtype=scores.dtype)
-        filtered_ids = np.zeros((rows, N), dtype=ids.dtype)
-        for row in range(rows):
-            mask = np.isin(ids[row], filter_items, invert=True)
-            filtered_ids[row] = ids[row][mask][:N]
-            filtered_scores[row] = scores[row][mask][:N]
-        ids, scores = filtered_ids, filtered_scores
-    return ids, scores
+        return ids[keep][:N], scores[keep][:N]
+    # batch: stable-partition each row so survivors come first, take N
+    order = np.argsort(~keep, axis=1, kind="stable")[:, :N]
+    rows = np.arange(ids.shape[0])[:, None]
+    return ids[rows, order], scores[rows, order]
