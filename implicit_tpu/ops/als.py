@@ -48,6 +48,16 @@ def gramian(Y, reg):
     return YtY + reg * jnp.eye(Y.shape[1], dtype=YtY.dtype)
 
 
+# NOTE on gather speed (measured, v5e behind axon): row-gathers slow from
+# ~2ns/row to ~10.7ns/row when the source table exceeds ~100MB (f32 user
+# factors at 360k rows). Splitting the table into sub-cliff parts plus a
+# select-chain, half-width dual gathers, index clamping, and locality
+# re-orderings were all measured SLOWER than the single big gather — the
+# cliff sits in XLA's gather lowering, not in anything this layer controls.
+def _gather_rows(Yc, idx):
+    return Yc[idx]
+
+
 def _weights(dat):
     """Split raw confidences into (A-weights, b-values), masking padding.
 
@@ -60,11 +70,42 @@ def _weights(dat):
     return w, bv
 
 
-def _cg_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
+def _masked_cg(x, r, Ax, cg_steps):
+    """``cg_steps`` masked conjugate-gradient iterations from residual ``r``.
+
+    Matches the reference per-user CG (implicit/cpu/_als.pyx:154-248): rows
+    whose squared residual drops below 1e-20 freeze (early exit), everything
+    else advances in lockstep. ``Ax`` applies the row's normal matrix.
+    """
+    p = r
+    rsold = jnp.sum(r * r, axis=1)
+    active = rsold >= 1e-20
+
+    def body(carry, _):
+        x, r, p, rsold, active = carry
+        Ap = Ax(p)
+        pAp = jnp.sum(p * Ap, axis=1)
+        alpha = jnp.where(active, rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        rsnew = jnp.sum(r * r, axis=1)
+        still = active & (rsnew >= 1e-20)
+        beta = jnp.where(active, rsnew / jnp.where(active, rsold, 1.0), 0.0)
+        p = jnp.where(still[:, None], r + beta[:, None] * p, p)
+        rsold = jnp.where(still, rsnew, rsold)
+        return (x, r, p, rsold, still), None
+
+    (x, _, _, _, _), _ = jax.lax.scan(
+        body, (x, r, p, rsold, active), None, length=cg_steps
+    )
+    return x
+
+
+def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     """Batched CG solves for every chunk of one bucket class (traceable).
 
     X : (U, F) float32 factors being solved; updated rows scattered back
-    Yc : (I, F) fixed factors of the other side, already in compute dtype
+    Yparts : (I, F) fixed factors of the other side, compute dtype
     YtY_reg : (F, F) float32 gramian of Y plus regularization
     rows/idx/dat : (n, C) / (n, C, L) / (n, C, L) stacked chunks
     use_pallas : fuse the sparse matvec passes with the Pallas kernel (TPU)
@@ -72,46 +113,26 @@ def _cg_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     from . import pallas_ops
 
     n_rows = X.shape[0]
-    cdt = Yc.dtype
-    # HIGHEST would force f32 3-pass matmuls, defeating a bf16 compute dtype
-    prec = HIGH if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 
     if use_pallas:
         sparse_term = pallas_ops.weighted_matvec
     else:
         sparse_term = pallas_ops.weighted_matvec_reference
 
-    def Ax(Yu, w, bv, v):
-        return sparse_term(Yu, w, bv, v, 0.0, 1.0) + jnp.dot(v, YtY_reg, precision=HIGH)
-
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = Yc[cidx]  # (C, L, F) gather in compute dtype
+        Yu = _gather_rows(Yparts, cidx)  # (C, L, F) gather in compute dtype
         w, bv = _weights(cdat)
         x = X[jnp.clip(crows, 0, n_rows - 1)]
 
         # r = b - A x in one fused pass over Yu (+ the dense YtY term)
         r = sparse_term(Yu, w, bv, x, 1.0, -1.0) - jnp.dot(x, YtY_reg, precision=HIGH)
-        p = r
-        rsold = jnp.sum(r * r, axis=1)
-        active = rsold >= 1e-20
-
-        def body(carry, _):
-            x, r, p, rsold, active = carry
-            Ap = Ax(Yu, w, bv, p)
-            pAp = jnp.sum(p * Ap, axis=1)
-            alpha = jnp.where(active, rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-            x = x + alpha[:, None] * p
-            r = r - alpha[:, None] * Ap
-            rsnew = jnp.sum(r * r, axis=1)
-            still = active & (rsnew >= 1e-20)
-            beta = jnp.where(active, rsnew / jnp.where(active, rsold, 1.0), 0.0)
-            p = jnp.where(still[:, None], r + beta[:, None] * p, p)
-            rsold = jnp.where(still, rsnew, rsold)
-            return (x, r, p, rsold, still), None
-
-        (x, _, _, _, _), _ = jax.lax.scan(
-            body, (x, r, p, rsold, active), None, length=cg_steps
+        x = _masked_cg(
+            x,
+            r,
+            lambda v: sparse_term(Yu, w, bv, v, 0.0, 1.0)
+            + jnp.dot(v, YtY_reg, precision=HIGH),
+            cg_steps,
         )
         X = X.at[crows].set(x, mode="drop")
         return X, None
@@ -120,7 +141,7 @@ def _cg_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     return X
 
 
-def _cho_class(X, Yc, YtY_reg, rows, idx, dat, spd=False):
+def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
     """Batched dense-normal-equation solves (the Cholesky/`posv` path).
 
     ``spd=True`` uses batched Cholesky (~2.4x faster on TPU) and is safe when
@@ -131,12 +152,12 @@ def _cho_class(X, Yc, YtY_reg, rows, idx, dat, spd=False):
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = Yc[cidx]
+        Yu = _gather_rows(Yparts, cidx)
         w, bv = _weights(cdat)
-        b = jnp.einsum("cl,clf->cf", bv.astype(Yc.dtype), Yu,
+        b = jnp.einsum("cl,clf->cf", bv.astype(Yu.dtype), Yu,
                        preferred_element_type=jnp.float32, precision=HIGH)
         A = YtY_reg[None] + jnp.einsum(
-            "clf,clg->cfg", (Yu * w[..., None].astype(Yc.dtype)), Yu,
+            "clf,clg->cfg", (Yu * w[..., None].astype(Yu.dtype)), Yu,
             preferred_element_type=jnp.float32, precision=HIGH,
         )
         if spd:
@@ -162,7 +183,7 @@ def _full_cg_max_l(compute_dtype):
     return 1024 if jnp.dtype(compute_dtype).itemsize == 2 else 512
 
 
-def _cg_full_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps):
+def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
     """Tile-resident CG for one class: Yu is read from HBM exactly once."""
     from . import pallas_ops
 
@@ -170,7 +191,7 @@ def _cg_full_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps):
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = Yc[cidx]
+        Yu = _gather_rows(Yparts, cidx)
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
         x = pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
         X = X.at[crows].set(x, mode="drop")
@@ -180,25 +201,47 @@ def _cg_full_class(X, Yc, YtY_reg, rows, idx, dat, cg_steps):
     return X
 
 
+def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
+    """Long-row class solve: fused gramian build + in-VMEM CG (one HBM pass).
+
+    Rows past the tile-resident CG limit solve against their explicit normal
+    matrix — the F x F-per-row MXU build amortizes over L >> F, and the
+    masked CG runs on the VMEM-resident matrices inside the same kernel.
+    (XLA's batched Cholesky was ~10^5 solves/s and the composed einsum build
+    tripled HBM traffic; together they dominated the f32 half-iteration on
+    power-law item catalogs.)
+    """
+    from . import pallas_ops
+
+    n_rows = X.shape[0]
+
+    def chunk_step(X, chunk):
+        crows, cidx, cdat = chunk
+        Yu = _gather_rows(Yparts, cidx)
+        x0 = X[jnp.clip(crows, 0, n_rows - 1)]
+        x = pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps)
+        X = X.at[crows].set(x, mode="drop")
+        return X, None
+
+    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
+    return X
+
+
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                     use_pallas, spd_long):
+                     use_pallas):
     YtY_reg = gramian(Y, reg)
-    Yc = Y.astype(compute_dtype)
+    Yparts = Y.astype(compute_dtype)
     max_l = _full_cg_max_l(compute_dtype)
     for crows, cidx, cdat in classes:
         if use_cg:
             if use_pallas and cidx.shape[2] <= max_l:
-                X = _cg_full_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps)
+                X = _cg_full_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps)
             elif use_pallas:
-                # very long rows: one MXU pass builds A, dense solve finishes.
-                # spd_long is False when regularization is 0 — A may then be
-                # rank-deficient and Cholesky would inject NaNs where the
-                # reference CG path would not; LU tolerates it.
-                X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat, spd=spd_long)
+                X = _long_row_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps)
             else:
-                X = _cg_class(X, Yc, YtY_reg, crows, cidx, cdat, cg_steps, False)
+                X = _cg_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps, False)
         else:
-            X = _cho_class(X, Yc, YtY_reg, crows, cidx, cdat)
+            X = _cho_class(X, Yparts, YtY_reg, crows, cidx, cdat)
     if empty_rows is not None:
         X = X.at[empty_rows].set(0.0)
     return X
@@ -206,13 +249,13 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas", "spd_long"),
+    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas"),
     donate_argnums=(0,),
 )
 def _solve_side_jit(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                    use_pallas, spd_long=True):
+                    use_pallas):
     return _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps,
-                            compute_dtype, use_pallas, spd_long)
+                            compute_dtype, use_pallas)
 
 
 def _class_tuples(buckets):
@@ -250,7 +293,6 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
     return _solve_side_jit(
         X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
         use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
-        spd_long=float(reg) > 0,
     )
 
 
@@ -263,16 +305,13 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     """
     if use_pallas is None:
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
-    spd_long = float(reg) > 0
     reg = jnp.float32(reg)
     cdt = jnp.dtype(compute_dtype).name
     uc, ue = _class_tuples(user_buckets), user_buckets.empty_rows
     ic, ie = _class_tuples(item_buckets), item_buckets.empty_rows
     for _ in range(iterations):
-        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas,
-                            spd_long=spd_long)
-        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas,
-                            spd_long=spd_long)
+        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas)
+        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas)
     return X, Y
 
 

@@ -205,6 +205,128 @@ def cg_solve_full(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
     return _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
 
 
+def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, A_ref, b_ref,
+                       *, nl, cg_steps, bc):
+    """Fused long-row solver: gramian build (MXU) + in-VMEM CG, one HBM pass.
+
+    For rows too long to keep VMEM-resident through the tile CG, the normal
+    matrix A = YtY + reg I + Yu^T diag(|c|-1) Yu is explicit: the (F, F)
+    per-row build amortizes over L >> F. Streaming the gathered block
+    tile-by-tile into per-row MXU contractions and finishing with the masked
+    CG *inside* the kernel means neither the weighted block copy nor the
+    (C, F, F) normal matrices ever exist in HBM (the composed XLA
+    formulation writes both, tripling traffic).
+    """
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        A_ref[:] = jnp.zeros_like(A_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    yu = yu_ref[:]  # (BC, BL, F) compute dtype
+    dat = dat_ref[:]  # (BC, BL) f32
+    mask = dat != 0
+    w = jnp.where(mask, jnp.abs(dat) - 1.0, 0.0)
+    bv = jnp.maximum(dat, 0.0)
+
+    # b[c] += sum_l bv[c,l] * yu[c,l]; f32 broadcast (bf16 (C,L,1) reshapes
+    # miscompile in Mosaic)
+    b_ref[:] += jnp.sum(bv[:, :, None] * yu, axis=1, dtype=jnp.float32)
+
+    # A[c] += yu[c]^T diag(w[c]) yu[c] — one (F,BL)x(BL,F) MXU contraction
+    # per row of the block. Full f32 precision when the block is f32 (the
+    # MXU's default multi-pass mode would round to ~bf16 mantissas).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if yu.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    for c in range(bc):
+        yuc = yu[c].astype(jnp.float32)  # (BL, F)
+        A_ref[c] += jax.lax.dot_general(
+            yuc * w[c][:, None], yuc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    @pl.when(li == nl - 1)
+    def _():
+        A = A_ref[:] + yty_ref[:][None]  # (BC, F, F)
+        b = b_ref[:]
+        x = x0_ref[:]
+
+        def Ax(v):
+            return jnp.sum(A * v[:, None, :], axis=2)
+
+        r = b - Ax(x)
+        p = r
+        rsold = jnp.sum(r * r, axis=1)
+        active = rsold >= 1e-20
+        for _ in range(cg_steps):
+            Ap = Ax(p)
+            pAp = jnp.sum(p * Ap, axis=1)
+            alpha = jnp.where(active, rsold / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+            x = x + alpha[:, None] * p
+            r = r - alpha[:, None] * Ap
+            rsnew = jnp.sum(r * r, axis=1)
+            still = active & (rsnew >= 1e-20)
+            beta = jnp.where(active, rsnew / jnp.where(active, rsold, 1.0), 0.0)
+            p = jnp.where(still[:, None], r + beta[:, None] * p, p)
+            rsold = jnp.where(still, rsnew, rsold)
+            active = still
+        out_ref[:] = x
+
+
+def _long_block_l(L):
+    """Largest <=1024 tile that divides L (class lengths are multiples of 8)."""
+    k = -(-L // 1024)
+    while L % k:
+        k += 1
+    return L // k
+
+
+@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
+def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
+    C, L, F = Yu.shape
+    BC = 8
+    BL = _long_block_l(L)
+    nc = C // BC
+    nl = L // BL
+
+    kernel = functools.partial(_gramian_cg_kernel, nl=nl, cg_steps=cg_steps, bc=BC)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(nc, nl),
+        in_specs=[
+            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, F), lambda ci, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BC, F, F), jnp.float32),
+            pltpu.VMEM((BC, F), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * L * F * F,
+            bytes_accessed=C * L * F * Yu.dtype.itemsize + C * L * 4,
+            transcendentals=0,
+        ),
+    )(dat, x0, YtY_reg, Yu)
+
+
+def gramian_cg_solve(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
+    """Long-row solve of one gathered block: explicit A + masked CG, fused."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
+
+
 def weighted_matvec_reference(Yu, w, bv, v, alpha, beta):
     """jnp oracle for the fused kernel (used on CPU and in tests)."""
     precision = (

@@ -73,15 +73,19 @@ class BucketedCSR:
         if len(nonempty) == 0:
             return
 
-        # length class per row: half-power-of-two grid (8, 16, 24, 32, 48,
-        # 64, 96, 128, ...) floored at min_L. The intermediate 1.5x steps cut
-        # padding waste from ~1.55x to ~1.25x versus pure powers of two while
-        # keeping every L a multiple of the 8-sublane tile.
+        # length class per row: eighth-power-of-two grid (8, 16, 24, 32, 40,
+        # 48, 56, 64, 80, 96, 112, 128, ...) floored at min_L. Every step is
+        # a multiple of the 8-sublane tile; the <= 1.17x step ratio keeps the
+        # average in-row padding under ~7% (pure powers of two waste ~30%,
+        # and the padding multiplies through every downstream stage: the
+        # factor gather, the HBM block traffic, and the solver flops).
         n = nnz_per_row[nonempty]
         p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
-        threeq = (3 * p) // 4
-        use_threeq = (n <= threeq) & (threeq % 8 == 0) & (threeq >= min_L)
-        L_per_row = np.maximum(min_L, np.where(use_threeq, threeq, p))
+        L_per_row = np.maximum(min_L, p)
+        for eighths in (7, 6, 5):
+            cand = (eighths * p) // 8
+            ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
+            L_per_row = np.where(ok, cand, L_per_row)
 
         for L in np.unique(L_per_row):
             L = int(L)
@@ -93,15 +97,18 @@ class BucketedCSR:
             count = len(sel)
 
             C = max(8, min(max_chunk_rows, target_entries // L))
-            C = min(C, _next_pow2(count))  # don't over-pad tiny datasets
-            C = max(8, C)
-            n_chunks = -(-count // C)
-            padded_rows = n_chunks * C
-
-            rows = np.full(padded_rows, self.sentinel, dtype=np.int32)
-            rows[:count] = sel
-            lengths = np.zeros(padded_rows, dtype=np.int32)
-            lengths[:count] = lens
+            # a partially-filled final chunk is stored as its own
+            # tightly-sized class: padding rows would otherwise multiply
+            # into wasted gather/compute (the sentinel rows still cost full
+            # kernel work)
+            full_chunks = count // C
+            remainder = count - full_chunks * C
+            pieces = []
+            if full_chunks:
+                pieces.append((0, full_chunks * C, full_chunks, C))
+            if remainder:
+                rem_C = max(8, -(-remainder // 8) * 8)
+                pieces.append((full_chunks * C, count, 1, rem_C))
 
             # ragged -> padded copy (native C++ packer, numpy fallback inside)
             from . import native
@@ -109,24 +116,33 @@ class BucketedCSR:
             packed_idx, packed_dat = native.pack_ragged(
                 indptr, csr_indices, csr_data, sel.astype(np.int32), L
             )
-            if padded_rows > count:
-                idx = np.zeros((padded_rows, L), dtype=np.int32)
-                dat = np.zeros((padded_rows, L), dtype=np.float32)
-                idx[:count] = packed_idx
-                dat[:count] = packed_dat
-            else:
-                idx, dat = packed_idx, packed_dat
 
-            self.classes.append(
-                BucketClass(
-                    L,
-                    C,
-                    rows.reshape(n_chunks, C),
-                    idx.reshape(n_chunks, C, L),
-                    dat.reshape(n_chunks, C, L),
-                    lengths.reshape(n_chunks, C),
+            for start, stop, n_chunks, piece_C in pieces:
+                piece_count = stop - start
+                padded_rows = n_chunks * piece_C
+                rows = np.full(padded_rows, self.sentinel, dtype=np.int32)
+                rows[:piece_count] = sel[start:stop]
+                lengths = np.zeros(padded_rows, dtype=np.int32)
+                lengths[:piece_count] = lens[start:stop]
+                if padded_rows > piece_count:
+                    idx = np.zeros((padded_rows, L), dtype=np.int32)
+                    dat = np.zeros((padded_rows, L), dtype=np.float32)
+                    idx[:piece_count] = packed_idx[start:stop]
+                    dat[:piece_count] = packed_dat[start:stop]
+                else:
+                    idx = packed_idx[start:stop]
+                    dat = packed_dat[start:stop]
+
+                self.classes.append(
+                    BucketClass(
+                        L,
+                        piece_C,
+                        rows.reshape(n_chunks, piece_C),
+                        idx.reshape(n_chunks, piece_C, L),
+                        dat.reshape(n_chunks, piece_C, L),
+                        lengths.reshape(n_chunks, piece_C),
+                    )
                 )
-            )
 
     @property
     def padded_entries(self):

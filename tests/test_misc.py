@@ -100,9 +100,9 @@ def test_similar_items_small_subset_pads_with_sentinel():
 
 
 def test_long_row_solve_finite_without_regularization():
-    # rows longer than the tile-resident CG limit route to the batched dense
-    # solve; with regularization=0 the normal matrix can be rank-deficient,
-    # which must fall back to LU (Cholesky would produce NaNs)
+    # rows longer than the tile-resident CG limit route to the gramian-CG
+    # path; with regularization=0 the normal matrix can be (nearly)
+    # rank-deficient, which CG must tolerate (a Cholesky would produce NaNs)
     import jax.numpy as jnp
     import scipy.sparse as sp
 
