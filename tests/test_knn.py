@@ -89,3 +89,46 @@ def test_empty_matrix():
     empty = csr_matrix((4, 4), dtype=np.float64)
     sim = all_pairs_knn(empty, 2, show_progress=False)
     assert sim.nnz == 0
+
+
+def test_all_pairs_knn_device_matches_host():
+    # the MXU gramian path must agree with the host spgemm path
+    rng = np.random.RandomState(3)
+    from scipy.sparse import random as sparse_random
+
+    counts = sparse_random(300, 80, density=0.15, random_state=rng, format="csr")
+    counts.data = np.ceil(counts.data * 5)
+
+    host = all_pairs_knn(counts, 5, method="host").tocsr()
+    device = all_pairs_knn(counts, 5, method="device").tocsr()
+
+    assert host.shape == device.shape
+    for row in range(host.shape[0]):
+        h = dict(zip(host[row].indices, host[row].data))
+        d = dict(zip(device[row].indices, device[row].data))
+        # identical neighbour sets modulo exact ties at the K-th score
+        h_scores = sorted(h.values(), reverse=True)
+        d_scores = sorted(d.values(), reverse=True)
+        np.testing.assert_allclose(h_scores, d_scores, rtol=1e-5)
+        common = set(h) & set(d)
+        for c in common:
+            np.testing.assert_allclose(h[c], d[c], rtol=1e-5)
+
+
+def test_knn_batch_recommend_matches_scalar_with_filters():
+    from implicit_tpu.nearest_neighbours import CosineRecommender
+    from scipy.sparse import random as sparse_random
+
+    rng = np.random.RandomState(7)
+    likes = sparse_random(60, 40, density=0.2, random_state=rng, format="csr")
+    likes.data[:] = 1.0
+    model = CosineRecommender(K=10)
+    model.fit(likes, show_progress=False)
+
+    userids = np.arange(60)
+    ids_b, sc_b = model.recommend(userids, likes[userids], N=5, filter_items=[1, 3])
+    for u in userids:
+        ids_s, sc_s = model.recommend(int(u), likes[int(u)], N=5, filter_items=[1, 3])
+        got = ids_b[u][ids_b[u] >= 0]
+        np.testing.assert_array_equal(ids_s[: len(got)], got)
+        assert 1 not in got and 3 not in got
