@@ -18,10 +18,17 @@ from ..utils import _batch_call, _filter_items_from_results
 class ANNWrapperBase(RecommenderBase):
     """Approximate serving on top of a trained factorization model."""
 
+    # search-size ceiling past which the wrapper serves exactly instead
+    # (e.g. faiss GPU indexes can't return >=1024 results); None = no ceiling
+    _exact_fallback_count = None
+
     def __init__(self, model, approximate_similar_items=True, approximate_recommend=True):
         self.model = model
         self.approximate_similar_items = approximate_similar_items
         self.approximate_recommend = approximate_recommend
+
+    def _over_search_limit(self, count):
+        return self._exact_fallback_count is not None and count >= self._exact_fallback_count
 
     # ---- subclass hooks -------------------------------------------------
     def _build_indexes(self, item_factors):
@@ -58,11 +65,17 @@ class ANNWrapperBase(RecommenderBase):
                 item_users=item_users, filter_items=filter_items,
             )
 
+        count = N + (len(filter_items) if filter_items is not None else 0)
+        if self._over_search_limit(count):
+            return self.model.similar_items(
+                itemid, N, recalculate_item=recalculate_item, item_users=item_users,
+                filter_items=filter_items,
+            )
+
         factor = np.asarray(self.model._item_factor(itemid, item_users, recalculate_item))
         if factor.ndim != 1:
             factor = np.squeeze(factor)
 
-        count = N + (len(filter_items) if filter_items is not None else 0)
         ids, scores = self._query_similar(factor, count)
 
         if filter_items is not None:
@@ -101,8 +114,6 @@ class ANNWrapperBase(RecommenderBase):
                 filter_items=filter_items, recalculate_user=recalculate_user, items=items,
             )
 
-        user = np.asarray(self.model._user_factor(userid, user_items, recalculate_user))
-
         # over-fetch so the post-filter still leaves N results
         count = N
         if filter_items is not None:
@@ -112,6 +123,19 @@ class ANNWrapperBase(RecommenderBase):
             liked = user_items[0].indices
             filter_items = np.append(filter_items, liked) if filter_items is not None else liked
             count += len(liked)
+
+        if self._over_search_limit(count):
+            # filter_items may already include the liked items here; the
+            # exact model filters them again, which is harmless (same as
+            # /root/reference/implicit/ann/faiss.py:248)
+            return self.model.recommend(
+                userid, user_items, N=N,
+                filter_already_liked_items=filter_already_liked_items,
+                filter_items=filter_items,
+                recalculate_user=recalculate_user,
+            )
+
+        user = np.asarray(self.model._user_factor(userid, user_items, recalculate_user))
 
         ids, scores = self._query_recommend(np.squeeze(user), count)
 

@@ -41,6 +41,13 @@ class FaissModel(ANNWrapperBase):
         self.nlist = nlist
         self.nprobe = nprobe
         self.use_gpu = use_gpu
+        self._gpu_resources = None
+
+    @property
+    def _exact_fallback_count(self):
+        # faiss GPU indexes can't return >=1024 results per query; serve
+        # those exactly (/root/reference/implicit/ann/faiss.py:142,248)
+        return 1024 if self.use_gpu else None
 
     def _build_indexes(self, item_factors):
         import faiss  # delayed: optional dependency
@@ -49,9 +56,24 @@ class FaissModel(ANNWrapperBase):
         n_items, factors = item_factors.shape
         nlist = min(self.nlist, max(1, n_items // 39))
 
+        if self.use_gpu:
+            if not hasattr(faiss, "StandardGpuResources"):
+                raise ValueError(
+                    "use_gpu=True requires the faiss GPU build (faiss-gpu); "
+                    "the installed faiss has no StandardGpuResources"
+                )
+            self._gpu_resources = faiss.StandardGpuResources()
+
         def build(matrix):
-            quantizer = faiss.IndexFlat(factors)
-            index = faiss.IndexIVFFlat(quantizer, factors, nlist, faiss.METRIC_INNER_PRODUCT)
+            if self.use_gpu:
+                index = faiss.GpuIndexIVFFlat(
+                    self._gpu_resources, factors, nlist, faiss.METRIC_INNER_PRODUCT
+                )
+            else:
+                quantizer = faiss.IndexFlat(factors)
+                index = faiss.IndexIVFFlat(
+                    quantizer, factors, nlist, faiss.METRIC_INNER_PRODUCT
+                )
             index.train(matrix)
             index.add(matrix)
             index.nprobe = self.nprobe

@@ -11,6 +11,7 @@ matmul programs over a :class:`~implicit_tpu.sparse.BucketedCSR` (see
 
 import logging
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +22,7 @@ from tqdm.auto import tqdm
 
 from ..ops import als as als_ops
 from ..sparse import BucketedCSR
-from ..utils import check_csr, check_random_state
+from ..utils import ParameterWarning, check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
 log = logging.getLogger("implicit_tpu")
@@ -102,8 +103,23 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
     @property
     def _compute_dtype(self):
         # 16-bit storage dtypes request bf16 solver math (the TPU analogue of
-        # the reference GPU's fp16 factor support); otherwise float32
-        return "bfloat16" if np.dtype(self.dtype).itemsize == 2 else "float32"
+        # the reference GPU's fp16 factor support); float64 solves in double
+        # precision when jax x64 is enabled (the reference's fused-type f64
+        # mode, /root/reference/implicit/cpu/_als.pyx:19-57); otherwise f32
+        itemsize = np.dtype(self.dtype).itemsize
+        if itemsize == 2:
+            return "bfloat16"
+        if np.dtype(self.dtype) == np.float64:
+            import jax
+
+            if jax.config.jax_enable_x64:
+                return "float64"
+            warnings.warn(
+                "dtype=float64 requested but jax x64 is disabled; solving in "
+                "float32 (enable jax_enable_x64 for double-precision solves)",
+                ParameterWarning,
+            )
+        return "float32"
 
     def fit(self, user_items, show_progress=True, callback=None):
         """Factorizes the user_items matrix.
@@ -114,9 +130,11 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         """
         random_state = check_random_state(self.random_state)
 
+        solve_dtype = np.float64 if self._compute_dtype == "float64" else np.float32
+
         Cui = check_csr(user_items)
-        if Cui.dtype != np.float32:
-            Cui = Cui.astype(np.float32)
+        if Cui.dtype != solve_dtype:
+            Cui = Cui.astype(solve_dtype)
 
         if self.alpha != 1.0:
             Cui = self.alpha * Cui
@@ -152,18 +170,21 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
         else:
-            user_buckets = BucketedCSR(Cui).to_device()
-            item_buckets = BucketedCSR(Ciu).to_device()
-            X = jnp.asarray(self.user_factors, dtype=jnp.float32)
-            Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+            user_buckets = BucketedCSR(Cui, data_dtype=solve_dtype).to_device()
+            item_buckets = BucketedCSR(Ciu, data_dtype=solve_dtype).to_device()
+            X = jnp.asarray(self.user_factors, dtype=solve_dtype)
+            Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
         log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)
 
         if not callback:
             callback = self.fit_callback
 
         # sharded training auto-partitions the einsum formulation; the Pallas
-        # kernel path is single-device only
+        # kernel path is single-device only, and the sharded path solves f32
         use_pallas = False if self.mesh is not None else None
+        compute_dtype = self._compute_dtype
+        if self.mesh is not None and compute_dtype == "float64":
+            compute_dtype = "float32"
 
         log.debug("Running %i ALS iterations", self.iterations)
         if callback is None and not self.calculate_training_loss:
@@ -171,7 +192,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
             with tqdm(total=self.iterations, disable=not show_progress) as progress:
                 X, Y = als_ops.fit(
                     X, Y, user_buckets, item_buckets, self.regularization,
-                    self.iterations, self.use_cg, self.cg_steps, self._compute_dtype,
+                    self.iterations, self.use_cg, self.cg_steps, compute_dtype,
                     use_pallas=use_pallas,
                 )
                 jax.block_until_ready((X, Y))
@@ -183,11 +204,11 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                     s = time.time()
                     X = als_ops.solve_side(
                         X, Y, user_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, self._compute_dtype, use_pallas=use_pallas,
+                        self.cg_steps, compute_dtype, use_pallas=use_pallas,
                     )
                     Y = als_ops.solve_side(
                         Y, X, item_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, self._compute_dtype, use_pallas=use_pallas,
+                        self.cg_steps, compute_dtype, use_pallas=use_pallas,
                     )
                     X.block_until_ready()
                     progress.update(1)

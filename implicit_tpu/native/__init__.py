@@ -70,11 +70,12 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def pack_ragged(indptr, indices, data, row_sel, L):
+def pack_ragged(indptr, indices, data, row_sel, L, dtype=np.float32):
     """Padded (len(row_sel), L) index/data blocks for the selected CSR rows."""
+    dtype = np.dtype(dtype)
     lib = get_lib()
     count = len(row_sel)
-    if lib is not None:
+    if lib is not None and dtype == np.float32:  # the C packer is f32-only
         indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
         indices32 = np.ascontiguousarray(indices, dtype=np.int32)
         data32 = np.ascontiguousarray(data, dtype=np.float32)
@@ -92,14 +93,14 @@ def pack_ragged(indptr, indices, data, row_sel, L):
     indptr = np.asarray(indptr, dtype=np.int64)
     lens = (indptr[np.asarray(row_sel) + 1] - indptr[np.asarray(row_sel)]).astype(np.int64)
     out_idx = np.zeros((count, L), dtype=np.int32)
-    out_dat = np.zeros((count, L), dtype=np.float32)
+    out_dat = np.zeros((count, L), dtype=dtype)
     total = int(lens.sum())
     if total:
         within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
         src = np.repeat(indptr[np.asarray(row_sel)], lens) + within
         flat = np.repeat(np.arange(count, dtype=np.int64) * L, lens) + within
         out_idx.reshape(-1)[flat] = np.asarray(indices, dtype=np.int32)[src]
-        out_dat.reshape(-1)[flat] = np.asarray(data, dtype=np.float32)[src]
+        out_dat.reshape(-1)[flat] = np.asarray(data, dtype=dtype)[src]
     return out_idx, out_dat
 
 

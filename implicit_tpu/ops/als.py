@@ -42,10 +42,11 @@ HIGH = jax.lax.Precision.HIGHEST
 
 @jax.jit
 def gramian(Y, reg):
-    """YtY + reg*I, float32, full precision."""
-    Y = Y.astype(jnp.float32)
-    YtY = jnp.dot(Y.T, Y, precision=HIGH, preferred_element_type=jnp.float32)
-    return YtY + reg * jnp.eye(Y.shape[1], dtype=YtY.dtype)
+    """YtY + reg*I in the solve precision: f32, or f64 under jax x64."""
+    dt = jnp.float64 if Y.dtype == jnp.float64 else jnp.float32
+    Y = Y.astype(dt)
+    YtY = jnp.dot(Y.T, Y, precision=HIGH, preferred_element_type=dt)
+    return YtY + reg * jnp.eye(Y.shape[1], dtype=dt)
 
 
 # NOTE on gather speed (measured, v5e behind axon): row-gathers slow from
@@ -154,11 +155,12 @@ def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
         crows, cidx, cdat = chunk
         Yu = _gather_rows(Yparts, cidx)
         w, bv = _weights(cdat)
+        acc_dt = jnp.float64 if Yu.dtype == jnp.float64 else jnp.float32
         b = jnp.einsum("cl,clf->cf", bv.astype(Yu.dtype), Yu,
-                       preferred_element_type=jnp.float32, precision=HIGH)
+                       preferred_element_type=acc_dt, precision=HIGH)
         A = YtY_reg[None] + jnp.einsum(
             "clf,clg->cfg", (Yu * w[..., None].astype(Yu.dtype)), Yu,
-            preferred_element_type=jnp.float32, precision=HIGH,
+            preferred_element_type=acc_dt, precision=HIGH,
         )
         if spd:
             x = jax.scipy.linalg.cho_solve(
@@ -288,7 +290,9 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
 
     if isinstance(buckets, BucketedCSR):
         buckets = buckets.to_device()
-    if use_pallas is None:
+    if jnp.dtype(compute_dtype) == jnp.float64:
+        use_pallas = False  # the Pallas kernels are f32/bf16-only
+    elif use_pallas is None:
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
     return _solve_side_jit(
         X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
@@ -303,7 +307,9 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     Dispatches are enqueued without host synchronization, so the transport
     round-trip is paid once per fit, not per iteration.
     """
-    if use_pallas is None:
+    if jnp.dtype(compute_dtype) == jnp.float64:
+        use_pallas = False  # the Pallas kernels are f32/bf16-only
+    elif use_pallas is None:
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
     reg = jnp.float32(reg)
     cdt = jnp.dtype(compute_dtype).name
@@ -351,8 +357,8 @@ def _loss_chunk_terms(X, Y, YtY, rows, idx, dat):
         r = jnp.dot(x, YtY, precision=HIGH) + jnp.einsum(
             "cl,clf->cf", temp, Yu, precision=HIGH
         )
-        loss_acc = loss_acc + jnp.sum(r * x)
-        conf_acc = conf_acc + jnp.sum(jnp.where(mask, conf, 0.0))
+        loss_acc = loss_acc + jnp.sum(r * x).astype(loss_acc.dtype)
+        conf_acc = conf_acc + jnp.sum(jnp.where(mask, conf, 0.0)).astype(conf_acc.dtype)
         return (loss_acc, conf_acc), None
 
     (loss, conf), _ = jax.lax.scan(

@@ -328,12 +328,13 @@ def gramian_cg_solve(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
 
 
 def weighted_matvec_reference(Yu, w, bv, v, alpha, beta):
-    """jnp oracle for the fused kernel (used on CPU and in tests)."""
+    """jnp oracle for the fused kernel (used on CPU, f64 solves, and tests)."""
     precision = (
-        jax.lax.Precision.HIGHEST if Yu.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.DEFAULT if Yu.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     )
+    acc_dt = jnp.float64 if Yu.dtype == jnp.float64 else jnp.float32
     t = jnp.einsum("clf,cf->cl", Yu, v.astype(Yu.dtype),
-                   preferred_element_type=jnp.float32, precision=precision)
+                   preferred_element_type=acc_dt, precision=precision)
     coeff = alpha * bv + beta * (w * t)
     return jnp.einsum("cl,clf->cf", coeff.astype(Yu.dtype), Yu,
-                      preferred_element_type=jnp.float32, precision=precision)
+                      preferred_element_type=acc_dt, precision=precision)

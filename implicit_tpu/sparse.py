@@ -54,8 +54,10 @@ class BucketedCSR:
         Upper bound on rows per chunk.
     """
 
-    def __init__(self, csr, target_entries=1 << 21, max_chunk_rows=8192, min_L=8):
+    def __init__(self, csr, target_entries=1 << 21, max_chunk_rows=8192, min_L=8,
+                 data_dtype=np.float32):
         n_rows = csr.shape[0]
+        self.data_dtype = np.dtype(data_dtype)
         self.shape = csr.shape
         self.n_rows = n_rows
         self.nnz = csr.nnz
@@ -66,7 +68,7 @@ class BucketedCSR:
         self.empty_rows = np.where(nnz_per_row == 0)[0].astype(np.int32)
 
         csr_indices = np.asarray(csr.indices, dtype=np.int32)
-        csr_data = np.asarray(csr.data, dtype=np.float32)
+        csr_data = np.asarray(csr.data, dtype=self.data_dtype)
 
         nonempty = np.where(nnz_per_row > 0)[0]
         self.classes = []
@@ -114,7 +116,8 @@ class BucketedCSR:
             from . import native
 
             packed_idx, packed_dat = native.pack_ragged(
-                indptr, csr_indices, csr_data, sel.astype(np.int32), L
+                indptr, csr_indices, csr_data, sel.astype(np.int32), L,
+                dtype=self.data_dtype,
             )
 
             for start, stop, n_chunks, piece_C in pieces:
@@ -126,7 +129,7 @@ class BucketedCSR:
                 lengths[:piece_count] = lens[start:stop]
                 if padded_rows > piece_count:
                     idx = np.zeros((padded_rows, L), dtype=np.int32)
-                    dat = np.zeros((padded_rows, L), dtype=np.float32)
+                    dat = np.zeros((padded_rows, L), dtype=self.data_dtype)
                     idx[:piece_count] = packed_idx[start:stop]
                     dat[:piece_count] = packed_dat[start:stop]
                 else:

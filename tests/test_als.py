@@ -6,6 +6,8 @@ accuracy, CG vs Cholesky parity, explain() semantics, loss values,
 incremental retraining and serialization round-trips.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 from conftest import get_checkerboard
@@ -207,3 +209,32 @@ def test_save_load_roundtrip(tmp_path):
     assert reloaded.dtype == model.dtype
     np.testing.assert_array_equal(reloaded.user_factors, model.user_factors)
     np.testing.assert_array_equal(reloaded.item_factors, model.item_factors)
+
+
+@pytest.mark.parametrize("use_cg", [True, False])
+def test_factorize_float64_x64(use_cg):
+    # the reference solves in f32 OR f64 via Cython fused types
+    # (/root/reference/implicit/cpu/_als.pyx:19-57); under jax x64 the device
+    # pipeline must genuinely solve in double precision
+    from jax import enable_x64
+
+    counts = _toy_counts()
+    with enable_x64():
+        model = AlternatingLeastSquares(
+            factors=6, regularization=0, dtype=np.float64, use_cg=use_cg, random_state=42
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # must NOT warn about f32 fallback
+            model.fit(counts * 2, show_progress=False)
+
+    assert model.user_factors.dtype == np.float64
+    reconstructed = model.user_factors @ model.item_factors.T
+    np.testing.assert_allclose(counts.toarray(), reconstructed, atol=1e-3)
+
+
+def test_factorize_float64_without_x64_warns():
+    counts = _toy_counts()
+    model = AlternatingLeastSquares(factors=6, dtype=np.float64, random_state=42)
+    with pytest.warns(Warning, match="x64"):
+        model.fit(counts * 2, show_progress=False)
+    assert model.user_factors.dtype == np.float64

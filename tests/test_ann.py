@@ -130,3 +130,77 @@ def test_factory_constructs_wrapper(fake_annoy):
     model.fit(likes, show_progress=False)
     ids, _ = model.recommend(2, likes[2], N=1)
     assert len(ids) == 1
+
+
+class _FakeFaissIndex:
+    """Exact inner-product index with faiss's IVFFlat API surface."""
+
+    def __init__(self):
+        self.nprobe = 0
+        self._mat = None
+
+    def train(self, matrix):
+        pass
+
+    def add(self, matrix):
+        self._mat = np.asarray(matrix, dtype=np.float32)
+
+    def search(self, query, count):
+        scores = np.asarray(query, dtype=np.float32) @ self._mat.T
+        order = np.argsort(-scores, axis=1)[:, :count]
+        rows = np.arange(query.shape[0])[:, None]
+        return scores[rows, order], order
+
+
+@pytest.fixture
+def fake_faiss(monkeypatch):
+    mod = types.ModuleType("faiss")
+    mod.METRIC_INNER_PRODUCT = 0
+    mod.IndexFlat = lambda f: None
+    mod.IndexIVFFlat = lambda quantizer, f, nlist, metric: _FakeFaissIndex()
+    # deliberately NO StandardGpuResources: models the faiss-cpu build
+    monkeypatch.setitem(sys.modules, "faiss", mod)
+    return mod
+
+
+def test_faiss_recommend_matches_exact(fake_faiss):
+    from implicit_tpu.ann.faiss import FaissModel
+
+    likes = get_checkerboard(50)
+    model = FaissModel(AlternatingLeastSquares(factors=16, random_state=3))
+    model.fit(likes, show_progress=False)
+    ids, _ = model.recommend(7, likes[7], N=1)
+    assert ids[0] == 7
+
+
+def test_faiss_use_gpu_without_gpu_build_raises(fake_faiss):
+    from implicit_tpu.ann.faiss import FaissModel
+
+    likes = get_checkerboard(20)
+    model = FaissModel(AlternatingLeastSquares(factors=8, random_state=0), use_gpu=True)
+    with pytest.raises(ValueError, match="faiss-gpu"):
+        model.fit(likes, show_progress=False)
+
+
+def test_faiss_gpu_large_count_serves_exactly(fake_faiss):
+    # faiss GPU indexes can't return >=1024 results; the wrapper must fall
+    # back to the exact model (reference: implicit/ann/faiss.py:142,248)
+    from implicit_tpu.ann.faiss import FaissModel
+
+    likes = get_checkerboard(40)
+    inner = AlternatingLeastSquares(factors=8, random_state=1)
+    model = FaissModel(inner)
+    model.fit(likes, show_progress=False)
+    model.use_gpu = True  # simulate a GPU wrapper post-fit
+
+    # break the ANN indexes: if the fallback doesn't engage, these would blow up
+    model.recommend_index = None
+    model.similar_items_index = None
+
+    ids, scores = model.recommend(3, likes[3], N=1030)
+    exact_ids, exact_scores = inner.recommend(3, likes[3], N=1030)
+    np.testing.assert_array_equal(ids, exact_ids)
+
+    ids, _ = model.similar_items(2, N=1500)
+    exact_ids, _ = inner.similar_items(2, N=1500)
+    np.testing.assert_array_equal(ids, exact_ids)
