@@ -1,19 +1,31 @@
-"""Headline benchmark: ALS training time per iteration, last.fm-360k scale, f=128.
+"""North-star benchmark record for the driver.
 
-Reference baseline (BASELINE.md): 0.389 s/iteration on an NVIDIA A6000
-(implicit's CUDA build, factors=128, last.fm-360k = 360k users x 160k items,
-~17M nonzeros). The real dataset can't be downloaded here (zero egress), so an
-equivalently-shaped synthetic matrix is used: same user/item counts, same nnz,
-power-law item popularity — the compute cost of an ALS iteration depends only
-on these statistics, not the values.
+Prints ONE JSON line whose headline metric is ALS training time per
+iteration at last.fm-360k scale, f=128 (reference: 0.389 s/iter on an
+NVIDIA A6000, implicit's CUDA build — BASELINE.md). The same line carries
+an ``extras`` object with the rest of the BASELINE.md north stars:
 
-Prints one JSON line:
-    {"metric": ..., "value": seconds_per_iteration, "unit": "s/iter",
-     "vs_baseline": baseline_seconds / measured_seconds}
-so vs_baseline > 1 means faster than the reference GPU build.
+  - ALS s/iter at factors 64 / 128 / 256 (bf16 production mode) and the
+    f32 mode at 128, each with its own A6000 vs_baseline ratio
+    (/root/reference/benchmarks/README.md:29-36)
+  - BPR and LMF seconds/epoch at the same scale (no published reference
+    numbers exist — reported for trend tracking)
+  - batched `recommend` serving throughput (users/s) at 160k items with
+    already-liked filtering
+  - end-to-end ALS p@10 on a clustered synthetic set (quality gate; the
+    structural analogue of the reference's ML-100k p@10 > 0.2 test,
+    /root/reference/tests/evaluation_test.py:103-119 — real datasets can't
+    be downloaded in this zero-egress environment)
+
+The synthetic interaction matrix matches last.fm-360k's shape statistics
+(360k users x 160k items, ~17M nonzeros, power-law item popularity); ALS
+iteration cost depends only on these statistics, not the cell values.
+
+vs_baseline > 1 means faster than the reference GPU build.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,29 +33,104 @@ import numpy as np
 USERS = 360_000
 ITEMS = 160_000
 NNZ = 17_500_000
-FACTORS = 128
-BASELINE_S_PER_ITER = 0.389  # reference CUDA on A6000, benchmarks/README.md:30-35
+
+# reference CUDA on A6000, /root/reference/benchmarks/README.md:29-36
+A6000_S_PER_ITER = {64: 0.446, 128: 0.389, 192: 0.513, 256: 0.631}
+HEADLINE_FACTORS = 128
 
 
-def synthetic_lastfm(users=USERS, items=ITEMS, nnz=NNZ, seed=0):
-    """Synthetic play-count matrix with last.fm-like shape statistics."""
-    from implicit_tpu.datasets.synthetic import generate_synthetic
+def _sync(x):
+    """Fetch a scalar to the host: forces completion of all enqueued work
+    (block_until_ready alone is unreliable over remote transports)."""
+    import jax.numpy as jnp
 
-    return generate_synthetic(users, items, nnz, seed=seed)
+    return float(jnp.sum(x))
+
+
+def bench_als(Cui, user_buckets, item_buckets, factors, compute_dtype, iters=5):
+    """Best-of-3 seconds per ALS iteration at the given factor count."""
+    import jax.numpy as jnp
+
+    from implicit_tpu.ops import als as als_ops
+
+    rng = np.random.default_rng(42)
+    X0 = jnp.asarray(rng.random((Cui.shape[0], factors), dtype=np.float32) * 0.01)
+    Y0 = jnp.asarray(rng.random((Cui.shape[1], factors), dtype=np.float32) * 0.01)
+    _sync(X0), _sync(Y0)
+
+    def run():
+        X = X0 + 0.0  # device-side copies: init/upload isn't an iteration
+        Y = Y0 + 0.0
+        _sync(X)
+        t0 = time.time()
+        X, Y = als_ops.fit(
+            X, Y, user_buckets, item_buckets, 0.01, iterations=iters,
+            compute_dtype=compute_dtype,
+        )
+        _sync(X)
+        return (time.time() - t0) / iters
+
+    run()  # warmup / compile
+    return min(run() for _ in range(3))
+
+
+def bench_sgd_epochs(model_cls, Cui, **kwargs):
+    """Seconds per epoch via the fit callback; epoch 0 absorbs compiles."""
+    times = []
+    model = model_cls(iterations=2, **kwargs)
+    model.fit(Cui, show_progress=False, callback=lambda e, t, *a: times.append(t))
+    return min(times[1:]) if len(times) > 1 else times[0]
+
+
+def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
+    """End-to-end batched recommend throughput (users/s), own-likes filtered."""
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(3)
+    model = AlternatingLeastSquares(factors=factors)
+    model.user_factors = rng.standard_normal((Cui.shape[0], factors), dtype=np.float32)
+    model.item_factors = rng.standard_normal((Cui.shape[1], factors), dtype=np.float32)
+
+    userids = np.arange(batch)
+    model.recommend(userids, Cui[userids], N=k)  # warmup / compile
+    t0 = time.time()
+    for i in range(n_batches):
+        userids = np.arange(i * batch, (i + 1) * batch)
+        ids, _ = model.recommend(userids, Cui[userids], N=k)
+    elapsed = time.time() - t0
+    assert ids.shape == (batch, k)
+    return batch * n_batches / elapsed
+
+
+def bench_quality():
+    """End-to-end ALS p@10 on a clustered synthetic set (3000x600, 20 groups)."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.datasets.synthetic import get_synthetic_clustered
+    from implicit_tpu.evaluation import ranking_metrics_at_k, train_test_split
+
+    likes = get_synthetic_clustered(users=3000, items=600, groups=20,
+                                    likes_per_user=24, seed=7)
+    train, test = train_test_split(likes, train_percentage=0.8, random_state=19)
+    model = AlternatingLeastSquares(factors=64, regularization=0.05,
+                                    iterations=15, random_state=42)
+    model.fit(train, show_progress=False)
+    metrics = ranking_metrics_at_k(model, train, test, K=10, show_progress=False)
+    return metrics["precision"]
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from implicit_tpu.ops import als as als_ops
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+    from implicit_tpu.datasets.synthetic import generate_synthetic
+    from implicit_tpu.lmf import LogisticMatrixFactorization
     from implicit_tpu.sparse import BucketedCSR
 
     t0 = time.time()
-    Cui = synthetic_lastfm()
+    Cui = generate_synthetic(USERS, ITEMS, NNZ, seed=0)
     Ciu = Cui.T.tocsr()
     gen_s = time.time() - t0
 
@@ -52,58 +139,57 @@ def main():
     item_buckets = BucketedCSR(Ciu).to_device()
     prep_s = time.time() - t0
 
-    rng = np.random.default_rng(42)
-    X0 = jnp.asarray(rng.random((Cui.shape[0], FACTORS), dtype=np.float32) * 0.01)
-    Y0 = jnp.asarray(rng.random((Cui.shape[1], FACTORS), dtype=np.float32) * 0.01)
+    extras = {}
+    stages = []
 
-    reg = 0.01
-    # bfloat16 compute with f32 accumulation: converges to the same loss as
-    # f32 (see benchmarks/benchmark_als.json trajectories) — the TPU-native
-    # production configuration, analogous to the reference GPU's fp16 mode
-    compute_dtype = "bfloat16"
-
-    def sync(X):
-        # fetch a scalar to the host: forces full completion of enqueued work
-        # (block_until_ready alone is unreliable over remote transports)
-        return float(jnp.sum(X))
-
-    sync(X0), sync(Y0)
-    iters = 5
-
-    def run():
-        # device-side copies: factor init/upload isn't part of an iteration
-        X = X0 + 0.0
-        Y = Y0 + 0.0
-        sync(X)
+    def stage(name, fn):
         t0 = time.time()
-        X, Y = als_ops.fit(
-            X, Y, user_buckets, item_buckets, reg, iterations=iters,
-            compute_dtype=compute_dtype,
-        )
-        sync(X)
-        return (time.time() - t0) / iters
+        out = fn()
+        stages.append(f"{name}={time.time() - t0:.1f}s")
+        return out
 
-    # warmup / compile
-    t0 = time.time()
-    run()
-    warm_s = time.time() - t0
+    # ALS across factor counts: bf16 tiles with f32 accumulation is the
+    # TPU-native production mode (analogous to the reference GPU's fp16);
+    # the f32 mode is benchmarked at the headline factor count as well
+    for f in (64, 128, 256):
+        s = stage(f"als{f}", lambda f=f: bench_als(
+            Cui, user_buckets, item_buckets, f, "bfloat16"))
+        extras[f"als_f{f}_s_per_iter"] = {
+            "value": round(s, 4),
+            "vs_baseline": round(A6000_S_PER_ITER[f] / s, 3),
+        }
+    s_f32 = stage("als128_f32", lambda: bench_als(
+        Cui, user_buckets, item_buckets, 128, "float32"))
+    extras["als_f128_float32_s_per_iter"] = {
+        "value": round(s_f32, 4),
+        "vs_baseline": round(A6000_S_PER_ITER[128] / s_f32, 3),
+    }
 
-    # timed: best of 3 (the shared transport adds session-level variance)
-    s_per_iter = min(run() for _ in range(3))
+    qps = stage("serving", lambda: bench_serving(Cui))
+    extras["recommend_users_per_s_batch1024_160k_items"] = {"value": round(qps)}
 
+    bpr_s = stage("bpr", lambda: bench_sgd_epochs(
+        BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
+    extras["bpr_s_per_epoch_f128"] = {"value": round(bpr_s, 3)}
+
+    lmf_s = stage("lmf", lambda: bench_sgd_epochs(
+        LogisticMatrixFactorization, Cui, factors=32, random_state=1))
+    extras["lmf_s_per_epoch_f32_negprop30"] = {"value": round(lmf_s, 3)}
+
+    p10 = stage("quality", lambda: bench_quality())
+    extras["als_p10_clustered_synthetic"] = {"value": round(p10, 4)}
+
+    headline = extras[f"als_f{HEADLINE_FACTORS}_s_per_iter"]
     result = {
         "metric": "als_train_s_per_iter_lastfm360k_f128",
-        "value": round(s_per_iter, 4),
+        "value": headline["value"],
         "unit": "s/iter",
-        "vs_baseline": round(BASELINE_S_PER_ITER / s_per_iter, 3),
+        "vs_baseline": headline["vs_baseline"],
+        "extras": extras,
     }
     print(json.dumps(result))
-    # context lines on stderr-ish (after the JSON line; drivers read line 1)
-    import sys
-
     print(
-        f"# nnz={Cui.nnz} gen={gen_s:.1f}s prep={prep_s:.1f}s "
-        f"warmup(compile)={warm_s:.1f}s",
+        f"# nnz={Cui.nnz} gen={gen_s:.1f}s prep={prep_s:.1f}s " + " ".join(stages),
         file=sys.stderr,
     )
 

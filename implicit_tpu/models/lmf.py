@@ -9,11 +9,17 @@ layout matches the reference exactly — two extra columns, with
 
 The reference's per-thread scalar loops with racing reads become batched
 bucketed updates: for each chunk of C users, positives are gathered as a
-(C, L, F) block and negatives are drawn popularity-weighted (uniform over the
-nnz index array, as the reference's RNGVector does) as a (C, NL, F) block;
-gradients and the AdaGrad state update are fully vectorized. Each side's
-update within an epoch reads the other side's factors at epoch-start values —
-the deterministic analogue of the reference's Hogwild-ish schedule.
+(C, L, F) block; negatives are drawn popularity-weighted (uniform over the
+nnz index array, as the reference's RNGVector does) as one shared per-chunk
+pool of P = L * neg_prop rows, of which each user consumes its own first
+``len * neg_prop`` entries. Sharing the pool within a chunk keeps every
+user's marginal sampling distribution exactly the paper's popularity draw
+(pool entries are iid) while turning the negative term from C*P random row
+gathers into two MXU matmuls — scoring ``sigmoid(x @ pool.T)`` and the
+weighted combine ``scores @ pool``. Gradients and the AdaGrad state update
+are fully vectorized. Each side's update within an epoch reads the other
+side's factors at epoch-start values — the deterministic analogue of the
+reference's Hogwild-ish schedule.
 """
 
 import functools
@@ -32,6 +38,55 @@ from .mf_base import MatrixFactorizationBase
 log = logging.getLogger("implicit_tpu")
 
 
+def _row_update(X, dss, Y, sample_cols, crows, cidx, cdat, clen, ckey,
+                lr, reg, neg_prop, neg_count):
+    """AdaGrad-updated (x, d) for one chunk's rows (shared by both paths).
+
+    X, dss : (U, F) factors and AdaGrad squared-gradient accumulators
+    Y : (I, F) fixed factors of the other side
+    sample_cols : (nnz,) int32 — column ids of every interaction; uniform
+        sampling over this array draws negatives popularity-weighted
+    crows/cidx/cdat/clen : (C,) / (C, L) chunk tensors
+    neg_count : static shared negative-pool size (min(I, L * neg_prop));
+        user c consumes the pool's first min(I, clen[c] * neg_prop) rows
+    """
+    n_rows = X.shape[0]
+    nnz = sample_cols.shape[0]
+    safe_rows = jnp.clip(crows, 0, n_rows - 1)
+    x = X[safe_rows]
+    d = dss[safe_rows]
+    Yu = Y[cidx]  # (C, L, F)
+
+    # positive contributions: sum_i c_i y_i - sum_i sigmoid(x.y_i) c_i y_i
+    # (padding entries carry c == 0 and vanish from both terms)
+    s_pos = jax.nn.sigmoid(jnp.einsum("clf,cf->cl", Yu, x)) * cdat
+    pos = jnp.einsum("cl,clf->cf", cdat - s_pos, Yu)
+
+    # negatives: a shared popularity-weighted pool per 8-row group; each
+    # user's prefix of its group's (iid) pool is its own unbiased draw,
+    # and the scoring/combine runs as batched MXU matmuls instead of
+    # C*P row gathers. Groups of 8 keep the sampling noise decorrelated
+    # across the chunk (one pool for the whole chunk makes every row's
+    # noise common-mode, which measurably hurts small problems).
+    C, F = x.shape
+    G = -(-C // 8)  # pad to whole 8-row groups (static per class)
+    xg = jnp.pad(x, ((0, G * 8 - C), (0, 0))).reshape(G, 8, F)
+    nidx = jax.random.randint(ckey, (G, neg_count), 0, nnz)
+    Yn = Y[sample_cols[nidx]]  # (G, P, F)
+    ncount = jnp.minimum(Y.shape[0], clen * neg_prop)
+    nmask = jnp.arange(neg_count, dtype=jnp.int32)[None, :] < ncount[:, None]
+    s_neg = jax.nn.sigmoid(
+        jnp.einsum("gcf,gpf->gcp", xg, Yn)
+    ).reshape(G * 8, -1)[:C] * nmask  # (C, P)
+    s_pad = jnp.pad(s_neg, ((0, G * 8 - C), (0, 0))).reshape(G, 8, -1)
+    neg = jnp.einsum("gcp,gpf->gcf", s_pad, Yn).reshape(G * 8, F)[:C]
+
+    deriv = pos - neg - reg * x
+    d = d + deriv * deriv
+    x = x + (lr / jnp.sqrt(1e-6 + d)) * deriv
+    return x, d
+
+
 @functools.partial(
     jax.jit, static_argnames=("neg_count", "pin_col"), donate_argnums=(0, 1)
 )
@@ -39,45 +94,13 @@ def _lmf_class_update(
     X, dss, Y, sample_cols, rows, idx, dat, lengths, keys, lr, reg, neg_prop,
     neg_count, pin_col,
 ):
-    """AdaGrad update of X rows for all chunks of one bucket class.
-
-    X, dss : (U, F) factors and AdaGrad squared-gradient accumulators (donated)
-    Y : (I, F) fixed factors of the other side
-    sample_cols : (nnz,) int32 — column ids of every interaction; uniform
-        sampling over this array draws negatives popularity-weighted
-    rows/idx/dat/lengths : stacked (n, C[, L]) chunk tensors
-    keys : (n, 2) per-chunk PRNG keys
-    neg_count : static padded negative-sample count (min(I, L * neg_prop))
-    """
-    n_rows = X.shape[0]
-    nnz = sample_cols.shape[0]
+    """AdaGrad update of X rows for all chunks of one bucket class."""
 
     def chunk_step(carry, chunk):
         X, dss = carry
         crows, cidx, cdat, clen, ckey = chunk
-        safe_rows = jnp.clip(crows, 0, n_rows - 1)
-        x = X[safe_rows]
-        d = dss[safe_rows]
-        Yu = Y[cidx]  # (C, L, F)
-
-        # positive contributions: sum_i c_i y_i - sum_i sigmoid(x.y_i) c_i y_i
-        # (padding entries carry c == 0 and vanish from both terms)
-        s_pos = jax.nn.sigmoid(jnp.einsum("clf,cf->cl", Yu, x)) * cdat
-        pos = jnp.einsum("cl,clf->cf", cdat - s_pos, Yu)
-
-        # negatives: popularity-weighted draws, per-user count len*neg_prop
-        nidx = jax.random.randint(ckey, (x.shape[0], neg_count), 0, nnz)
-        nitems = sample_cols[nidx]
-        Yn = Y[nitems]  # (C, NL, F)
-        ncount = jnp.minimum(Y.shape[0], clen * neg_prop)
-        nmask = jnp.arange(neg_count, dtype=jnp.int32)[None, :] < ncount[:, None]
-        s_neg = jax.nn.sigmoid(jnp.einsum("cnf,cf->cn", Yn, x)) * nmask
-        neg = jnp.einsum("cn,cnf->cf", s_neg, Yn)
-
-        deriv = pos - neg - reg * x
-        d = d + deriv * deriv
-        x = x + (lr / jnp.sqrt(1e-6 + d)) * deriv
-
+        x, d = _row_update(X, dss, Y, sample_cols, crows, cidx, cdat, clen,
+                           ckey, lr, reg, neg_prop, neg_count)
         X = X.at[crows].set(x, mode="drop")
         dss = dss.at[crows].set(d, mode="drop")
         return (X, dss), None
@@ -85,6 +108,57 @@ def _lmf_class_update(
     (X, dss), _ = jax.lax.scan(chunk_step, (X, dss), (rows, idx, dat, lengths, keys))
     X = X.at[:, pin_col].set(1.0)
     return X, dss
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_class_update(mesh, axis_name, neg_count, pin_col):
+    """Compiled multi-chip LMF class update (cached per mesh/class config).
+
+    Explicit shard_map analogue of the single-chip update (the BPR treatment,
+    models/bpr.py:_build_sharded_epoch): each chip computes the AdaGrad
+    update for its slice of a chunk's rows against its own negative pools,
+    then row ids and new values ride one all-gather over ICI — O(C·F) per
+    chunk — and every chip applies the identical scatter to its factor
+    replica, keeping replicas bit-identical across any mesh size.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S = P(None, axis_name)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), S, P(None, axis_name, None),
+                  P(None, axis_name, None), S, P(None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def update(X, dss, Y, sample_cols, rows, idx, dat, lengths, keys, lr, reg,
+               neg_prop):
+        dev = jax.lax.axis_index(axis_name)
+
+        def chunk_step(carry, chunk):
+            X, dss = carry
+            crows, cidx, cdat, clen, ckey = chunk  # this chip's row slice
+            ckey = jax.random.fold_in(ckey, dev)  # distinct pools per shard
+            x, d = _row_update(X, dss, Y, sample_cols, crows, cidx, cdat,
+                               clen, ckey, lr, reg, neg_prop, neg_count)
+            all_rows = jax.lax.all_gather(crows, axis_name, tiled=True)
+            all_x = jax.lax.all_gather(x, axis_name, tiled=True)
+            all_d = jax.lax.all_gather(d, axis_name, tiled=True)
+            X = X.at[all_rows].set(all_x, mode="drop")
+            dss = dss.at[all_rows].set(all_d, mode="drop")
+            return (X, dss), None
+
+        (X, dss), _ = jax.lax.scan(
+            chunk_step, (X, dss), (rows, idx, dat, lengths, keys)
+        )
+        X = X.at[:, pin_col].set(1.0)
+        return X, dss
+
+    return update
 
 
 class LogisticMatrixFactorization(MatrixFactorizationBase):
@@ -176,11 +250,11 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
             self._check_fit_errors()
             return
 
-        # chunk sizing: each chunk materializes a (C, L*neg_prop, F) negative
-        # block, so bound C*L by a budget of ~128M gathered negative floats;
-        # bigger chunks amortize the per-step factor-buffer update traffic
-        factor_bytes = 4 * (self.factors + 2)
-        target = max(1 << 14, (512 << 20) // (self.neg_prop * factor_bytes))
+        # chunk sizing: the big live intermediate is the (C, L*neg_prop)
+        # negative score matrix (plus its sigmoid), so bound C*L such that
+        # ~3 f32 copies of it stay within a 768MB budget; bigger chunks
+        # amortize the per-step factor-buffer update traffic
+        target = max(1 << 14, (768 << 20) // (self.neg_prop * 12))
         if self.mesh is not None:
             from ..parallel import create_mesh, shard_buckets
             from ..parallel.mesh import replicated
@@ -207,6 +281,17 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         reg = jnp.float32(self.regularization)
         neg_prop = jnp.int32(self.neg_prop)
 
+        if self.mesh is not None:
+            def class_update(X, dss, Y, cols, cls, keys, neg_count, pin_col):
+                update = _build_sharded_class_update(mesh, "d", neg_count, pin_col)
+                return update(X, dss, Y, cols, cls.rows, cls.indices, cls.data,
+                              cls.lengths, keys, lr, reg, neg_prop)
+        else:
+            def class_update(X, dss, Y, cols, cls, keys, neg_count, pin_col):
+                return _lmf_class_update(X, dss, Y, cols, cls.rows, cls.indices,
+                                         cls.data, cls.lengths, keys, lr, reg,
+                                         neg_prop, neg_count, pin_col)
+
         log.debug("Running %i LMF training epochs", self.iterations)
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
             for epoch in range(self.iterations):
@@ -214,19 +299,15 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                 for cls in user_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)
-                    X, dssX = _lmf_class_update(
-                        X, dssX, Y, cols_u,
-                        cls.rows, cls.indices, cls.data, cls.lengths, keys,
-                        lr, reg, neg_prop,
+                    X, dssX = class_update(
+                        X, dssX, Y, cols_u, cls, keys,
                         int(min(items, cls.L * self.neg_prop)), -2,
                     )
                 for cls in item_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)
-                    Y, dssY = _lmf_class_update(
-                        Y, dssY, X, cols_i,
-                        cls.rows, cls.indices, cls.data, cls.lengths, keys,
-                        lr, reg, neg_prop,
+                    Y, dssY = class_update(
+                        Y, dssY, X, cols_i, cls, keys,
                         int(min(users, cls.L * self.neg_prop)), -1,
                     )
                 progress.update(1)

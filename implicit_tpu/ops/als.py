@@ -175,14 +175,18 @@ def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
     return X
 
 
-def _full_cg_max_l(compute_dtype):
+def _full_cg_max_l(compute_dtype, factors=128):
     """Longest row the tile-resident CG kernel can keep VMEM-resident.
 
-    Rows longer than this solve via the single-pass Cholesky path: their
-    gathered block can't stay on-chip, and there are few enough of them that
-    the batched dense solve is cheap.
+    Rows longer than this solve via the fused gramian-CG path: their gathered
+    block can't stay on-chip through the whole solve. The kernel's scoped
+    footprint scales with BC_min * L * F_pad (double-buffered input plus two
+    f32 tile temporaries), so the limit shrinks inversely with the
+    lane-padded factor width (16MB scoped VMEM per core).
     """
-    return 1024 if jnp.dtype(compute_dtype).itemsize == 2 else 512
+    f_pad = -(-int(factors) // 128) * 128
+    base = 1024 if jnp.dtype(compute_dtype).itemsize == 2 else 512
+    return max(8, base * 128 // f_pad)
 
 
 def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
@@ -231,14 +235,19 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
                      use_pallas):
+    from . import pallas_ops
+
     YtY_reg = gramian(Y, reg)
     Yparts = Y.astype(compute_dtype)
-    max_l = _full_cg_max_l(compute_dtype)
+    factors = X.shape[1]
+    max_l = _full_cg_max_l(compute_dtype, factors)
+    itemsize = jnp.dtype(compute_dtype).itemsize
     for crows, cidx, cdat in classes:
+        L = cidx.shape[2]
         if use_cg:
-            if use_pallas and cidx.shape[2] <= max_l:
+            if use_pallas and L <= max_l:
                 X = _cg_full_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps)
-            elif use_pallas:
+            elif use_pallas and pallas_ops.gramian_tile_l(L, factors, itemsize):
                 X = _long_row_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps)
             else:
                 X = _cg_class(X, Yparts, YtY_reg, crows, cidx, cdat, cg_steps, False)

@@ -279,19 +279,39 @@ def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, A_ref, b_ref,
         out_ref[:] = x
 
 
-def _long_block_l(L):
-    """Largest <=1024 tile that divides L (class lengths are multiples of 8)."""
-    k = -(-L // 1024)
-    while L % k:
-        k += 1
-    return L // k
+def gramian_tile_l(L, F, itemsize):
+    """The gramian-CG kernel's L-tile for this shape, or None if none fits.
+
+    Two constraints: (a) VMEM — the scoped footprint is the double-buffered
+    input tile plus an f32 combine temporary (~``2*itemsize + 4`` bytes per
+    element) plus the (8, F, F) normal-matrix scratch, against a ~14MB
+    budget; (b) Mosaic — a 2-D block's last dim must be a multiple of 128
+    or equal to the full array dim, and the tile must divide L exactly.
+    Returns L itself when the whole row fits (always legal), else the
+    largest 128-multiple divisor within budget, else None (the caller
+    should fall back to the composed XLA formulation).
+    """
+    f_pad = -(-F // 128) * 128
+    bpe = 2 * itemsize + 4
+    budget = 13 * 2**20 - 8 * f_pad * f_pad * 4
+    cap = budget // (8 * f_pad * bpe)
+    if cap < 128:
+        return None
+    if L <= cap:
+        return L
+    bl = (cap // 128) * 128
+    while bl >= 128 and L % bl:
+        bl -= 128
+    return bl if bl >= 128 else None
 
 
 @functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
 def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
     C, L, F = Yu.shape
     BC = 8
-    BL = _long_block_l(L)
+    BL = gramian_tile_l(L, F, Yu.dtype.itemsize)
+    if BL is None:  # callers dispatch away from unroutable shapes
+        raise ValueError(f"no VMEM-viable gramian tile for L={L}, F={F}")
     nc = C // BC
     nl = L // BL
 

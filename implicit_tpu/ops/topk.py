@@ -23,8 +23,26 @@ import numpy as np
 
 NEG_MAX = -float(np.finfo(np.float32).max)
 
-# bound on the score-matrix working set per chunk (float32 elements)
+# fallback bound on the score-matrix working set per chunk (float32
+# elements) when the backend doesn't report memory stats
 _MAX_SCORE_ELEMENTS = 1 << 26  # 64M floats = 256MB
+
+
+def _score_budget_elements():
+    """Float32 elements available for one chunk's score matrix.
+
+    Sized from the device's live memory headroom — half of free HBM, capped
+    at 4GB — the same policy as the reference GPU's temp-memory pool
+    (/root/reference/implicit/gpu/knn.cu:56-75,169-173). Backends that don't
+    expose memory stats (CPU) fall back to a fixed 256MB working set.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        free = stats["bytes_limit"] - stats["bytes_in_use"]
+        budget_bytes = min(free // 2, 4 << 30)
+        return max(budget_bytes // 4, 1 << 22)
+    except Exception:
+        return _MAX_SCORE_ELEMENTS
 
 
 def _pad_dim(n):
@@ -103,7 +121,7 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
         fi_dev = jnp.zeros((1,), dtype=jnp.int32)
         use_if = False
 
-    chunk = max(8, min(q_rows, _MAX_SCORE_ELEMENTS // max(n_items, 1)))
+    chunk = max(8, min(q_rows, _score_budget_elements() // max(n_items, 1)))
     chunk = _pad_dim(chunk)
 
     query_on_device = isinstance(query, jax.Array)

@@ -98,7 +98,10 @@ class BucketedCSR:
             lens = nnz_per_row[sel].astype(np.int32)
             count = len(sel)
 
-            C = max(8, min(max_chunk_rows, target_entries // L))
+            # chunk width is kept a multiple of the 8-row sublane tile: the
+            # Pallas solvers tile rows in groups of 8, and grouped negative
+            # pools (models/lmf.py) reshape chunks into 8-row groups
+            C = max(8, (min(max_chunk_rows, target_entries // L) // 8) * 8)
             # a partially-filled final chunk is stored as its own
             # tightly-sized class: padding rows would otherwise multiply
             # into wasted gather/compute (the sentinel rows still cost full

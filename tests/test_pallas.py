@@ -49,3 +49,77 @@ def test_zero_weights_give_b_only():
     got = weighted_matvec(Yu, w, bv, v, 1.0, -1.0, interpret=True)
     want = jnp.einsum("cl,clf->cf", bv, Yu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def _composed_cg_oracle(Yu, dat, x0, YtY_reg, cg_steps):
+    """The composed (einsum) formulation of the same masked CG solve."""
+    from implicit_tpu.ops.als import _masked_cg, _weights
+
+    w, bv = _weights(dat)
+    r = (weighted_matvec_reference(Yu, w, bv, x0, 1.0, -1.0)
+         - x0 @ YtY_reg)
+    return _masked_cg(
+        x0, r,
+        lambda v: weighted_matvec_reference(Yu, w, bv, v, 0.0, 1.0) + v @ YtY_reg,
+        cg_steps,
+    )
+
+
+def _cg_case(C, L, F, seed):
+    rng = np.random.default_rng(seed)
+    Yu = jnp.asarray(rng.standard_normal((C, L, F), dtype=np.float32) * 0.1)
+    dat = rng.random((C, L), dtype=np.float32) * 5 + 1
+    dat[:, -2:] = 0.0  # padding tail
+    x0 = jnp.asarray(rng.standard_normal((C, F), dtype=np.float32) * 0.01)
+    Y = rng.standard_normal((64, F), dtype=np.float32) * 0.1
+    YtY_reg = jnp.asarray(Y.T @ Y + 0.05 * np.eye(F, dtype=np.float32))
+    return Yu, jnp.asarray(dat), x0, YtY_reg
+
+
+# shapes include the wide-factor (F=256) classes that must tile differently
+# from the F=128 default (regression: scoped-VMEM OOM at f=256, L=768)
+@pytest.mark.parametrize("shape", [(16, 64, 128), (16, 96, 256), (8, 24, 64)])
+def test_cg_solve_full_matches_composed(shape):
+    from implicit_tpu.ops.pallas_ops import cg_solve_full
+
+    Yu, dat, x0, YtY_reg = _cg_case(*shape, seed=shape[1])
+    got = cg_solve_full(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=True)
+    want = _composed_cg_oracle(Yu, dat, x0, YtY_reg, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(16, 1536, 128), (16, 768, 256), (8, 2048, 64)])
+def test_gramian_cg_solve_matches_composed(shape):
+    from implicit_tpu.ops.pallas_ops import gramian_cg_solve
+
+    Yu, dat, x0, YtY_reg = _cg_case(*shape, seed=shape[2])
+    got = gramian_cg_solve(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=True)
+    want = _composed_cg_oracle(Yu, dat, x0, YtY_reg, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_gramian_tile_l_respects_vmem_and_mosaic():
+    from implicit_tpu.ops.pallas_ops import gramian_tile_l
+
+    # fits whole-row: always legal regardless of 128-divisibility
+    assert gramian_tile_l(1536, 128, 2) == 1536
+    assert gramian_tile_l(640, 256, 2) == 640
+    # must tile: result is a 128-multiple divisor within the VMEM budget
+    bl = gramian_tile_l(768, 256, 2)
+    assert bl % 128 == 0 and 768 % bl == 0 and bl < 768
+    bl = gramian_tile_l(2048, 512, 2)
+    assert bl % 128 == 0 and 2048 % bl == 0
+    # no viable tile: L has no 128-multiple divisor and exceeds the budget
+    assert gramian_tile_l(832, 256, 2) is None
+    # normal-matrix scratch alone exceeds VMEM at very wide factors
+    assert gramian_tile_l(1024, 1024, 2) is None
+
+
+def test_full_cg_max_l_scales_with_factor_width():
+    from implicit_tpu.ops.als import _full_cg_max_l
+
+    assert _full_cg_max_l(jnp.bfloat16, 128) == 1024
+    assert _full_cg_max_l(jnp.float32, 128) == 512
+    assert _full_cg_max_l(jnp.bfloat16, 256) == 512
+    assert _full_cg_max_l(jnp.float32, 256) == 256
+    assert _full_cg_max_l(jnp.bfloat16, 64) == 1024

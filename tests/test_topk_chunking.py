@@ -15,7 +15,14 @@ import implicit_tpu.ops.topk as topk_mod
 @pytest.fixture
 def tiny_chunks(monkeypatch):
     # force many small query chunks
-    monkeypatch.setattr(topk_mod, "_MAX_SCORE_ELEMENTS", 8 * 200)
+    monkeypatch.setattr(topk_mod, "_score_budget_elements", lambda: 8 * 200)
+
+
+def test_score_budget_sane():
+    # whatever the backend reports, the budget is a usable positive bound
+    budget = topk_mod._score_budget_elements()
+    assert budget >= 1 << 22
+    assert budget * 4 <= 4 << 30 or budget == topk_mod._MAX_SCORE_ELEMENTS
 
 
 def test_chunked_matches_unchunked(tiny_chunks):
