@@ -14,6 +14,6 @@ scaling goes through ``jax.sharding`` meshes rather than threads.
 
 from . import als, approximate_als, bpr, lmf, nearest_neighbours
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["als", "approximate_als", "bpr", "lmf", "nearest_neighbours", "__version__"]

@@ -29,6 +29,11 @@ from .mf_base import MatrixFactorizationBase
 
 log = logging.getLogger("implicit_tpu")
 
+# minibatch cap: every scan step pays factor-buffer update traffic, so
+# fewer/bigger steps train faster, while batches past this size measurably
+# slow convergence per-sample (more intra-batch collisions on hot rows)
+_MAX_BATCH = 65536
+
 
 def _segment_member(indptr, indices, u, col, n_iters):
     """Vectorized binary search: is ``col`` present in CSR row ``u``?
@@ -297,7 +302,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         # large minibatches: every scan step pays buffer-update traffic over
         # the full factor matrices, so fewer/bigger steps train much faster;
         # small datasets keep small batches for closer-to-Hogwild dynamics
-        batch = int(min(65536, max(64, 1 << int(np.ceil(np.log2(max(samples // 64, 1)))))))
+        batch = int(min(_MAX_BATCH, max(64, 1 << int(np.ceil(np.log2(max(samples // 64, 1)))))))
         steps = max(1, -(-samples // batch))
         max_row = int(user_counts.max()) if len(user_counts) else 1
         bisect_iters = int(np.ceil(np.log2(max(max_row, 2)))) + 1

@@ -260,15 +260,15 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
             from ..parallel.mesh import replicated
 
             mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
-            user_buckets = shard_buckets(BucketedCSR(user_items, target_entries=target), mesh)
-            item_buckets = shard_buckets(BucketedCSR(item_users, target_entries=target), mesh)
+            user_buckets = shard_buckets(BucketedCSR(user_items, target_entries=target, grid="pow2"), mesh)
+            item_buckets = shard_buckets(BucketedCSR(item_users, target_entries=target, grid="pow2"), mesh)
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
             cols_u = replicated(mesh, user_items.indices.astype(np.int32))
             cols_i = replicated(mesh, item_users.indices.astype(np.int32))
         else:
-            user_buckets = BucketedCSR(user_items, target_entries=target).to_device()
-            item_buckets = BucketedCSR(item_users, target_entries=target).to_device()
+            user_buckets = BucketedCSR(user_items, target_entries=target, grid="pow2").to_device()
+            item_buckets = BucketedCSR(item_users, target_entries=target, grid="pow2").to_device()
             X = jnp.asarray(self.user_factors, dtype=jnp.float32)
             Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
             cols_u = jnp.asarray(user_items.indices, dtype=jnp.int32)
@@ -312,6 +312,11 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                     )
                 progress.update(1)
                 if callback:
+                    # force completion first: dispatches are async, and the
+                    # callback contract reports wall-clock epoch time (a
+                    # host scalar fetch is the reliable sync over remote
+                    # transports; block_until_ready alone is not)
+                    float(jnp.sum(X)) + float(jnp.sum(Y))
                     callback(epoch, time.time() - s)
 
         self.user_factors = np.array(X, dtype=self.dtype)

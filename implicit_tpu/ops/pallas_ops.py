@@ -283,16 +283,18 @@ def gramian_tile_l(L, F, itemsize):
     """The gramian-CG kernel's L-tile for this shape, or None if none fits.
 
     Two constraints: (a) VMEM — the scoped footprint is the double-buffered
-    input tile plus an f32 combine temporary (~``2*itemsize + 4`` bytes per
-    element) plus the (8, F, F) normal-matrix scratch, against a ~14MB
-    budget; (b) Mosaic — a 2-D block's last dim must be a multiple of 128
-    or equal to the full array dim, and the tile must divide L exactly.
-    Returns L itself when the whole row fits (always legal), else the
-    largest 128-multiple divisor within budget, else None (the caller
-    should fall back to the composed XLA formulation).
+    input tile plus the f32 broadcast temporaries (~12 bytes per element,
+    calibrated against Mosaic's reported scoped allocations: a bf16 tile of
+    8x1280x128 allocates 16.2MB) plus the (8, F, F) normal-matrix scratch,
+    against a ~13MB budget; (b) Mosaic — a 2-D block's last dim must be a
+    multiple of 128 or equal to the full array dim, and the tile must
+    divide L exactly. Returns L itself when the whole row fits (always
+    legal), else the largest 128-multiple divisor within budget, else None
+    (the caller should fall back to the composed XLA formulation).
     """
+    del itemsize  # f32 aliases one temp, bf16 pays a cast: both ~12 B/elem
     f_pad = -(-F // 128) * 128
-    bpe = 2 * itemsize + 4
+    bpe = 12
     budget = 13 * 2**20 - 8 * f_pad * f_pad * 4
     cap = budget // (8 * f_pad * bpe)
     if cap < 128:

@@ -55,7 +55,7 @@ class BucketedCSR:
     """
 
     def __init__(self, csr, target_entries=1 << 21, max_chunk_rows=8192, min_L=8,
-                 data_dtype=np.float32):
+                 data_dtype=np.float32, grid="fine"):
         n_rows = csr.shape[0]
         self.data_dtype = np.dtype(data_dtype)
         self.shape = csr.shape
@@ -81,13 +81,18 @@ class BucketedCSR:
         # average in-row padding under ~7% (pure powers of two waste ~30%,
         # and the padding multiplies through every downstream stage: the
         # factor gather, the HBM block traffic, and the solver flops).
+        # grid="pow2" keeps only the power-of-two lengths: ~4x fewer classes,
+        # so ~4x fewer compiled programs and per-epoch dispatches — the right
+        # trade for the SGD models, whose epochs are far cheaper than their
+        # compiles and whose padding doesn't multiply into a solver
         n = nnz_per_row[nonempty]
         p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
         L_per_row = np.maximum(min_L, p)
-        for eighths in (7, 6, 5):
-            cand = (eighths * p) // 8
-            ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
-            L_per_row = np.where(ok, cand, L_per_row)
+        if grid != "pow2":
+            for eighths in (7, 6, 5):
+                cand = (eighths * p) // 8
+                ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
+                L_per_row = np.where(ok, cand, L_per_row)
 
         for L in np.unique(L_per_row):
             L = int(L)

@@ -102,16 +102,17 @@ def test_gramian_tile_l_respects_vmem_and_mosaic():
     from implicit_tpu.ops.pallas_ops import gramian_tile_l
 
     # fits whole-row: always legal regardless of 128-divisibility
-    assert gramian_tile_l(1536, 128, 2) == 1536
-    assert gramian_tile_l(640, 256, 2) == 640
+    assert gramian_tile_l(1040, 128, 2) == 1040
     # must tile: result is a 128-multiple divisor within the VMEM budget
+    bl = gramian_tile_l(1280, 128, 2)  # regression: full 1280 OOM'd at 16.2MB
+    assert bl % 128 == 0 and 1280 % bl == 0 and bl <= 1024
     bl = gramian_tile_l(768, 256, 2)
     assert bl % 128 == 0 and 768 % bl == 0 and bl < 768
-    bl = gramian_tile_l(2048, 512, 2)
-    assert bl % 128 == 0 and 2048 % bl == 0
+    assert gramian_tile_l(640, 256, 2) == 128
     # no viable tile: L has no 128-multiple divisor and exceeds the budget
     assert gramian_tile_l(832, 256, 2) is None
-    # normal-matrix scratch alone exceeds VMEM at very wide factors
+    # normal-matrix scratch alone crowds out the tiles at very wide factors
+    assert gramian_tile_l(2048, 512, 2) is None
     assert gramian_tile_l(1024, 1024, 2) is None
 
 
