@@ -9,10 +9,15 @@ Supports --synthetic for air-gapped environments.
 
 import argparse
 import logging
+import os
+import sys
 import time
 
 import numpy as np
 from tqdm.auto import tqdm
+
+# allow running from a source checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 log = logging.getLogger("implicit_tpu.examples")
 

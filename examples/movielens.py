@@ -8,10 +8,15 @@ movies via batched device serving.
 
 import argparse
 import logging
+import os
+import sys
 import time
 
 import numpy as np
 from tqdm.auto import tqdm
+
+# allow running from a source checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 log = logging.getLogger("implicit_tpu.examples")
 
@@ -45,12 +50,22 @@ def binarize(ratings, min_rating):
     return ratings
 
 
-def export_similar_movies(output_filename, model_name="als", min_rating=4.0, variant="20m"):
+def export_similar_movies(output_filename, model_name="als", min_rating=4.0, variant="20m",
+                          synthetic=False):
     from implicit_tpu.datasets.movielens import get_movielens
     from implicit_tpu.nearest_neighbours import bm25_weight
 
     start = time.time()
-    titles, ratings = get_movielens(variant)
+    if synthetic:
+        # air-gapped environments: a MovieLens-shaped synthetic ratings matrix
+        from implicit_tpu.datasets.synthetic import generate_synthetic
+
+        plays = generate_synthetic(5000, 2000, 100_000, seed=3)
+        ratings = plays.T.tocsr()
+        ratings.data = (ratings.data.astype(np.int64) % 5 + 1).astype(np.float32)
+        titles = np.array([f"movie-{i}" for i in range(ratings.shape[0])])
+    else:
+        titles, ratings = get_movielens(variant)
     ratings = binarize(ratings, min_rating)
     log.info("read data file in %.2fs", time.time() - start)
 
@@ -88,11 +103,14 @@ def main():
                         choices=["als", "bpr", "lmf", "tfidf", "cosine", "bm25"])
     parser.add_argument("--variant", default="20m", choices=["100k", "1m", "10m", "20m"])
     parser.add_argument("--min_rating", type=float, default=4.0)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use a synthetic ratings matrix (no download)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.DEBUG)
     export_similar_movies(
-        args.output, model_name=args.model, min_rating=args.min_rating, variant=args.variant
+        args.output, model_name=args.model, min_rating=args.min_rating,
+        variant=args.variant, synthetic=args.synthetic
     )
 
 

@@ -29,3 +29,63 @@ def test_finite_factors():
     model.fit(csr_matrix(mat), show_progress=False)
     assert np.isfinite(model.user_factors).all()
     assert np.isfinite(model.item_factors).all()
+
+
+def test_negative_pool_marginal_is_popularity_weighted():
+    """The grouped shared pools must draw negatives with the same marginal
+    distribution as the reference's RNGVector (uniform over the nnz index
+    array = popularity-weighted over items, lmf.pyx:275-284)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # item popularity 4:2:1
+    sample_cols = jnp.asarray(np.array([0] * 4000 + [1] * 2000 + [2] * 1000,
+                                       dtype=np.int32))
+    nnz = sample_cols.shape[0]
+    counts = np.zeros(3)
+    for seed in range(20):
+        nidx = jax.random.randint(jax.random.PRNGKey(seed), (16, 512), 0, nnz)
+        drawn = np.asarray(sample_cols[nidx]).ravel()
+        counts += np.bincount(drawn, minlength=3)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [4 / 7, 2 / 7, 1 / 7], atol=0.01)
+
+
+def test_grouped_pools_decorrelate_rows():
+    """Rows in different 8-row groups of a chunk see different pools."""
+    import jax
+    import numpy as np
+    from scipy.sparse import csr_matrix
+
+    from implicit_tpu.models.lmf import _row_update
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    C, L, F, items = 16, 4, 8, 50
+    X = jnp.asarray(rng.rand(C, F).astype(np.float32))
+    dss = jnp.zeros((C, F), dtype=jnp.float32)
+    Y = jnp.asarray(rng.rand(items, F).astype(np.float32))
+    cols = jnp.asarray(rng.randint(0, items, size=400).astype(np.int32))
+    crows = jnp.arange(C, dtype=jnp.int32)
+    cidx = jnp.asarray(rng.randint(0, items, size=(C, L)).astype(np.int32))
+    cdat = jnp.asarray(rng.rand(C, L).astype(np.float32) + 1)
+    clen = jnp.full((C,), L, dtype=jnp.int32)
+
+    x, d = _row_update(X, dss, Y, cols, crows, cidx, cdat, clen,
+                       jax.random.PRNGKey(7), jnp.float32(1.0),
+                       jnp.float32(0.0), jnp.int32(30), 64)
+    assert np.isfinite(np.asarray(x)).all()
+
+    # identical inputs in rows 0 and 8 (different groups) should still get
+    # different negative pools, hence different updates
+    X2 = jnp.asarray(np.tile(np.asarray(X)[:1], (C, 1)))
+    cidx2 = jnp.tile(cidx[:1], (C, 1))
+    cdat2 = jnp.tile(cdat[:1], (C, 1))
+    # few draws (neg_prop=1 -> 4 per row) so pool noise is visible per row
+    x2, _ = _row_update(X2, dss, Y, cols, crows, cidx2, cdat2, clen,
+                        jax.random.PRNGKey(7), jnp.float32(1.0),
+                        jnp.float32(0.0), jnp.int32(1), 8)
+    x2 = np.asarray(x2)
+    assert np.allclose(x2[0], x2[7])            # same group -> same pool
+    assert not np.allclose(x2[0], x2[8])        # different group -> different
