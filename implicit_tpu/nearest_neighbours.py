@@ -76,13 +76,23 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="
     through scipy's C spgemm (cost ∝ sum of squared user degrees — the
     output-sparsity-aware algorithm, right for huge power-law catalogs);
     "device" computes the dense gramian on the TPU MXU (cost ∝ items² x
-    users — wins by ~an order of magnitude on denser, moderate-catalog
-    matrices like the MovieLens family). "auto" picks by estimated cost.
+    users — measured 1.6x the host at MovieLens-20M shape, growing with
+    density since the host's pair-expansion work scales with squared user
+    degree). "auto" picks by estimated cost.
     """
     user_items = check_csr(user_items)
     if method == "auto":
         method = "device" if _device_knn_wins(user_items) else "host"
     if method == "device":
+        if user_items.shape[1] > _DEVICE_KNN_MAX_ITEMS:
+            raise ValueError(
+                f"method='device' holds a dense {user_items.shape[1]}^2 "
+                f"similarity gramian in HBM; catalogs over "
+                f"{_DEVICE_KNN_MAX_ITEMS} items must use method='host' "
+                "(the output-sparsity-aware spgemm, which is also faster "
+                "there: its cost scales with co-occurring pairs, not "
+                "items^2 x users)"
+            )
         return _all_pairs_knn_device(user_items, K)
     return _all_pairs_knn_host(user_items, K)
 
@@ -167,7 +177,10 @@ def _all_pairs_knn_device(user_items, K):
 
     csr = user_items.tocsr()
     users, items = csr.shape
-    chunk = max(8, min(users, (1 << 27) // max(items, 1)))  # D is <=512MB f32
+    # big densified chunks: every accumulate reads+writes the whole (I, I)
+    # gramian, so the chunk count — not the matmul — dominates HBM traffic;
+    # a 2GB D still leaves the 5.2GB worst-case S plus headroom in HBM
+    chunk = max(8, min(users, (1 << 29) // max(items, 1)))
 
     @functools.partial(jax.jit, static_argnames=("n_rows", "n_items"), donate_argnums=(0,))
     def accumulate(S, rows, cols, vals, n_rows, n_items):

@@ -132,3 +132,16 @@ def test_knn_batch_recommend_matches_scalar_with_filters():
         got = ids_b[u][ids_b[u] >= 0]
         np.testing.assert_array_equal(ids_s[: len(got)], got)
         assert 1 not in got and 3 not in got
+
+
+def test_device_method_rejects_oversized_catalogs():
+    import pytest
+    from scipy.sparse import random as sparse_random
+
+    import implicit_tpu.nearest_neighbours as nn
+
+    wide = sparse_random(10, nn._DEVICE_KNN_MAX_ITEMS + 1, density=0.01,
+                         random_state=np.random.RandomState(0), format="csr")
+    wide.data[:] = 1.0
+    with pytest.raises(ValueError, match="method='host'"):
+        all_pairs_knn(wide, 5, method="device")
