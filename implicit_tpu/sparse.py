@@ -49,12 +49,15 @@ class BucketedCSR:
     csr : scipy.sparse.csr_matrix
     target_entries : int
         Rough upper bound on C*L per chunk; with factor dimension f the
-        gathered block a solver materializes is ~ target_entries * f floats.
+        gathered block a solver materializes is ~ target_entries * f floats
+        (8M entries * f=128 bf16 = 2GB). Bigger chunks mean fewer serialized
+        scan steps: 8M entries measured ~3% faster than 2M for the ALS fit
+        at last.fm-360k scale.
     max_chunk_rows : int
         Upper bound on rows per chunk.
     """
 
-    def __init__(self, csr, target_entries=1 << 21, max_chunk_rows=8192, min_L=8,
+    def __init__(self, csr, target_entries=1 << 23, max_chunk_rows=32768, min_L=8,
                  data_dtype=np.float32, grid="fine"):
         n_rows = csr.shape[0]
         self.data_dtype = np.dtype(data_dtype)
