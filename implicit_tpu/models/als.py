@@ -161,24 +161,27 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
 
         s = time.time()
         # chunk sizing: bound the (C, L, F) gathered factor block a solver
-        # materializes to ~2GB of HBM; within that, bigger chunks are faster
-        # (fewer serialized scan steps — 8M entries measured ~3% over 2M)
+        # materializes to ~4GB of HBM; within that, bigger chunks are faster
+        # (fewer serialized scan steps — 16M entries measured 7% faster than
+        # 2M at f=128 bf16, monotone through the sweep)
         compute_itemsize = 2 if self._compute_dtype == "bfloat16" else 4
-        target = int(np.clip((2 << 30) // (self.factors * compute_itemsize),
-                             1 << 21, 1 << 23))
+        target = int(np.clip((4 << 30) // (self.factors * compute_itemsize),
+                             1 << 21, 1 << 24))
         if self.mesh is not None:
             from ..parallel import create_mesh, shard_buckets
             from ..parallel.mesh import replicated
 
             mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
-            user_buckets = shard_buckets(BucketedCSR(Cui, target_entries=target), mesh)
-            item_buckets = shard_buckets(BucketedCSR(Ciu, target_entries=target), mesh)
+            user_buckets = shard_buckets(BucketedCSR(Cui, target_entries=target,
+                                                      max_chunk_rows=65536), mesh)
+            item_buckets = shard_buckets(BucketedCSR(Ciu, target_entries=target,
+                                                      max_chunk_rows=65536), mesh)
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
         else:
-            user_buckets = BucketedCSR(Cui, target_entries=target,
+            user_buckets = BucketedCSR(Cui, target_entries=target, max_chunk_rows=65536,
                                        data_dtype=solve_dtype).to_device()
-            item_buckets = BucketedCSR(Ciu, target_entries=target,
+            item_buckets = BucketedCSR(Ciu, target_entries=target, max_chunk_rows=65536,
                                        data_dtype=solve_dtype).to_device()
             X = jnp.asarray(self.user_factors, dtype=solve_dtype)
             Y = jnp.asarray(self.item_factors, dtype=solve_dtype)

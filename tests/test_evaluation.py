@@ -147,3 +147,27 @@ def test_als_quality_gate():
 
     p = precision_at_k(model, train, test, K=10, show_progress=False)
     assert p > 0.2
+
+
+def test_leave_k_out_reconstructs_input():
+    """train + test recompose exactly to the input (reference
+    evaluation_test.py's 'outputs produce input' property)."""
+    ratings = _random_ratings()
+    train, test = leave_k_out_split(ratings, K=1, random_state=3)
+    recombined = (train + test).tocsr()
+    original = ratings.tocsr()
+    assert (recombined != original).nnz == 0
+
+
+def test_leave_k_out_train_only_size():
+    """train_only users never contribute test entries and stay in train."""
+    ratings = _random_ratings()
+    train, test = leave_k_out_split(ratings, K=1, train_only_size=0.5,
+                                    random_state=4)
+    assert train.shape == ratings.shape
+    assert test.shape == ratings.shape
+    assert train.nnz + test.nnz == ratings.nnz
+    # with half the users held train-only, test users are at most half
+    test_users = np.count_nonzero(np.diff(test.tocsr().indptr))
+    all_users = np.count_nonzero(np.diff(ratings.tocsr().indptr))
+    assert test_users <= all_users * 0.5 + 1
