@@ -107,19 +107,33 @@ def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
 
 
 def bench_quality():
-    """End-to-end ALS p@10 on a clustered synthetic set (3000x600, 20 groups)."""
+    """End-to-end p@10 per model family on a clustered synthetic set
+    (3000x600, 20 groups) — the quality-parity gate across families."""
     from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
     from implicit_tpu.datasets.synthetic import get_synthetic_clustered
     from implicit_tpu.evaluation import ranking_metrics_at_k, train_test_split
+    from implicit_tpu.lmf import LogisticMatrixFactorization
+    from implicit_tpu.nearest_neighbours import BM25Recommender
 
     likes = get_synthetic_clustered(users=3000, items=600, groups=20,
                                     likes_per_user=24, seed=7)
     train, test = train_test_split(likes, train_percentage=0.8, random_state=19)
-    model = AlternatingLeastSquares(factors=64, regularization=0.05,
-                                    iterations=15, random_state=42)
-    model.fit(train, show_progress=False)
-    metrics = ranking_metrics_at_k(model, train, test, K=10, show_progress=False)
-    return metrics["precision"]
+    models = {
+        "als": AlternatingLeastSquares(factors=64, regularization=0.05,
+                                       iterations=15, random_state=42),
+        "bpr": BayesianPersonalizedRanking(factors=63, iterations=200,
+                                           random_state=42),
+        "lmf": LogisticMatrixFactorization(factors=30, random_state=42),
+        "bm25": BM25Recommender(K=60),
+    }
+    out = {}
+    for name, model in models.items():
+        model.fit(train, show_progress=False)
+        metrics = ranking_metrics_at_k(model, train, test, K=10,
+                                       show_progress=False)
+        out[name] = round(float(metrics["precision"]), 4)
+    return out
 
 
 def main():
@@ -185,7 +199,8 @@ def main():
     extras["lmf_s_per_epoch_f32_negprop30"] = {"value": round(lmf_s, 3)}
 
     p10 = stage("quality", lambda: bench_quality())
-    extras["als_p10_clustered_synthetic"] = {"value": round(p10, 4)}
+    extras["als_p10_clustered_synthetic"] = {"value": p10["als"]}
+    extras["p10_clustered_synthetic_by_model"] = {"value": p10}
 
     headline = extras[f"als_f{HEADLINE_FACTORS}_s_per_iter"]
     result = {
