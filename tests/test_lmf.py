@@ -82,10 +82,14 @@ def test_grouped_pools_decorrelate_rows():
     X2 = jnp.asarray(np.tile(np.asarray(X)[:1], (C, 1)))
     cidx2 = jnp.tile(cidx[:1], (C, 1))
     cdat2 = jnp.tile(cdat[:1], (C, 1))
-    # few draws (neg_prop=1 -> 4 per row) so pool noise is visible per row
-    x2, _ = _row_update(X2, dss, Y, cols, crows, cidx2, cdat2, clen,
+    # warm AdaGrad accumulator: with dss=0 the update saturates to
+    # lr*sign(deriv) elementwise and pool differences vanish to ~1e-6;
+    # a warm accumulator keeps the step proportional to the gradient so
+    # pool noise stays visible. Few draws (neg_prop=1 -> 4 per row).
+    dss2 = jnp.full((C, F), 10.0, dtype=jnp.float32)
+    x2, _ = _row_update(X2, dss2, Y, cols, crows, cidx2, cdat2, clen,
                         jax.random.PRNGKey(7), jnp.float32(1.0),
                         jnp.float32(0.0), jnp.int32(1), 8)
     x2 = np.asarray(x2)
-    assert np.allclose(x2[0], x2[7])            # same group -> same pool
-    assert not np.allclose(x2[0], x2[8])        # different group -> different
+    np.testing.assert_allclose(x2[0], x2[7])    # same group -> same pool
+    assert np.abs(x2[0] - x2[8]).max() > 1e-3   # different group -> different
