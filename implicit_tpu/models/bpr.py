@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm.auto import tqdm
 
+from ..ops import membership
 from ..utils import check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
@@ -57,24 +58,43 @@ def _segment_member(indptr, indices, u, col, n_iters):
     return (lo < indptr[u + 1]) & (indices[jnp.clip(lo, 0, n - 1)] == col)
 
 
+def _verify_skip(indptr, itemids, table, u, cols, verify_neg, bisect_iters, mh):
+    """Which sampled negatives are actually liked (and must be skipped).
+
+    Two exact implementations: the O(1) cuckoo pair table (two independent
+    bucket gathers per sample — see ops/membership.py) when one was built,
+    else the vectorized per-row bisection over the CSR indices (the direct
+    analogue of the reference's std::binary_search, bpr.pyx:63-67).
+    """
+    if not verify_neg:
+        return jnp.zeros(u.shape, dtype=bool)
+    if mh is not None:
+        return membership._member(table, u, cols, *mh, jnp)
+    return _segment_member(indptr, itemids, u, cols, bisect_iters)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "batch", "verify_neg", "bisect_iters"),
-    donate_argnums=(0, 1),
+    static_argnames=("steps", "batch", "verify_neg", "bisect_iters", "mh"),
+    donate_argnums=(0, 1, 2),
 )
 def _bpr_epoch(
-    X, Y, userids, itemids, indptr, key, lr, reg,
-    steps, batch, verify_neg, bisect_iters,
+    X, Y, yb, userids, itemids, indptr, table, key, lr, reg,
+    steps, batch, verify_neg, bisect_iters, mh,
 ):
-    """One BPR training epoch: steps x batch sampled pairwise SGD updates."""
-    n_samples = userids.shape[0]
-    factors = X.shape[1] - 1  # trailing column is the bias slot
+    """One BPR training epoch: steps x batch sampled pairwise SGD updates.
 
-    # user bias column is pinned to 1.0: mask gradient there
-    user_grad_mask = jnp.ones((X.shape[1],), dtype=X.dtype).at[factors].set(0.0)
+    The item bias lives in its own (items,) vector ``yb`` rather than as a
+    glued factors+1 column (the reference layout, bpr.pyx:299-301): a
+    factors+1-wide row pads to the next 128-lane multiple on TPU, so at
+    pow2 factor counts the glued layout doubles every gather/scatter's
+    traffic. The public numpy layout is reassembled at the fit boundary.
+    The user bias column is pinned to 1.0 and carries no state at all.
+    """
+    n_samples = userids.shape[0]
 
     def step(carry, subkey):
-        X, Y, correct, skipped = carry
+        X, Y, yb, correct, skipped = carry
         k1, k2 = jax.random.split(subkey)
         liked_idx = jax.random.randint(k1, (batch,), 0, n_samples)
         disliked_idx = jax.random.randint(k2, (batch,), 0, n_samples)
@@ -83,43 +103,44 @@ def _bpr_epoch(
         liked = itemids[liked_idx]
         disliked = itemids[disliked_idx]
 
-        if verify_neg:
-            skip = _segment_member(indptr, itemids, u, disliked, bisect_iters)
-        else:
-            skip = jnp.zeros((batch,), dtype=bool)
+        skip = _verify_skip(indptr, itemids, table, u, disliked,
+                            verify_neg, bisect_iters, mh)
 
         xu = X[u]
         yl = Y[liked]
         yd = Y[disliked]
+        bl = yb[liked]
+        bd = yb[disliked]
 
-        score = jnp.sum(xu * (yl - yd), axis=1)
+        # user bias column is 1.0, so it contributes (bl - bd) to the score
+        score = jnp.sum(xu * (yl - yd), axis=1) + bl - bd
         z = 1.0 / (1.0 + jnp.exp(score))
 
         keep = ~skip
         correct = correct + jnp.sum((z < 0.5) & keep)
         skipped = skipped + jnp.sum(skip)
 
-        scale = jnp.where(keep, lr, 0.0)[:, None]
-        # bias column: user's is 1.0, so the unified expressions below also
-        # produce the reference's bias updates (bpr.pyx:299-301)
-        dx = (z[:, None] * (yl - yd) - reg * xu) * user_grad_mask
+        scale = jnp.where(keep, lr, 0.0)
+        dx = z[:, None] * (yl - yd) - reg * xu
         dyl = z[:, None] * xu - reg * yl
         dyd = -z[:, None] * xu - reg * yd
 
-        X = X.at[u].add(scale * dx)
-        Y = Y.at[liked].add(scale * dyl)
-        Y = Y.at[disliked].add(scale * dyd)
-        return (X, Y, correct, skipped), None
+        X = X.at[u].add(scale[:, None] * dx)
+        Y = Y.at[liked].add(scale[:, None] * dyl)
+        Y = Y.at[disliked].add(scale[:, None] * dyd)
+        yb = yb.at[liked].add(scale * (z - reg * bl))
+        yb = yb.at[disliked].add(scale * (-z - reg * bd))
+        return (X, Y, yb, correct, skipped), None
 
     subkeys = jax.random.split(key, steps)
-    (X, Y, correct, skipped), _ = jax.lax.scan(
-        step, (X, Y, jnp.int32(0), jnp.int32(0)), subkeys
+    (X, Y, yb, correct, skipped), _ = jax.lax.scan(
+        step, (X, Y, yb, jnp.int32(0), jnp.int32(0)), subkeys
     )
-    return X, Y, correct, skipped
+    return X, Y, yb, correct, skipped
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters):
+def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters, mh):
     """Compiled multi-chip BPR epoch (cached per mesh/config).
 
     Each chip draws and verifies its slice of the minibatch (the per-sample
@@ -132,22 +153,20 @@ def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    def epoch(X, Y, userids, itemids, indptr, key, lr, reg):
+    def epoch(X, Y, yb, userids, itemids, indptr, table, key, lr, reg):
         dev = jax.lax.axis_index(axis_name)
         n_samples = userids.shape[0]
-        factors = X.shape[1] - 1
-        user_grad_mask = jnp.ones((X.shape[1],), dtype=X.dtype).at[factors].set(0.0)
 
         def step(carry, subkey):
-            X, Y, correct, skipped = carry
+            X, Y, yb, correct, skipped = carry
             k1, k2 = jax.random.split(jax.random.fold_in(subkey, dev))
             liked_idx = jax.random.randint(k1, (local_batch,), 0, n_samples)
             disliked_idx = jax.random.randint(k2, (local_batch,), 0, n_samples)
@@ -156,12 +175,13 @@ def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect
             liked_l = itemids[liked_idx]
             disliked_l = itemids[disliked_idx]
 
-            if verify_neg:
-                skip_l = _segment_member(indptr, itemids, u_l, disliked_l, bisect_iters)
-            else:
-                skip_l = jnp.zeros((local_batch,), dtype=bool)
+            skip_l = _verify_skip(indptr, itemids, table, u_l, disliked_l,
+                                  verify_neg, bisect_iters, mh)
 
-            score_l = jnp.sum(X[u_l] * (Y[liked_l] - Y[disliked_l]), axis=1)
+            score_l = (
+                jnp.sum(X[u_l] * (Y[liked_l] - Y[disliked_l]), axis=1)
+                + yb[liked_l] - yb[disliked_l]
+            )
             z_l = 1.0 / (1.0 + jnp.exp(score_l))
 
             # one all-gather of indices + logits: every chip sees the full batch
@@ -177,28 +197,32 @@ def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect
             xu = X[u]
             yl = Y[liked]
             yd = Y[disliked]
-            scale = jnp.where(keep, lr, 0.0)[:, None]
-            dx = (z[:, None] * (yl - yd) - reg * xu) * user_grad_mask
+            bl = yb[liked]
+            bd = yb[disliked]
+            scale = jnp.where(keep, lr, 0.0)
+            dx = z[:, None] * (yl - yd) - reg * xu
             dyl = z[:, None] * xu - reg * yl
             dyd = -z[:, None] * xu - reg * yd
 
-            X = X.at[u].add(scale * dx)
-            Y = Y.at[liked].add(scale * dyl)
-            Y = Y.at[disliked].add(scale * dyd)
-            return (X, Y, correct, skipped), None
+            X = X.at[u].add(scale[:, None] * dx)
+            Y = Y.at[liked].add(scale[:, None] * dyl)
+            Y = Y.at[disliked].add(scale[:, None] * dyd)
+            yb = yb.at[liked].add(scale * (z - reg * bl))
+            yb = yb.at[disliked].add(scale * (-z - reg * bd))
+            return (X, Y, yb, correct, skipped), None
 
         subkeys = jax.random.split(key, steps)
-        (X, Y, correct, skipped), _ = jax.lax.scan(
-            step, (X, Y, jnp.int32(0), jnp.int32(0)), subkeys
+        (X, Y, yb, correct, skipped), _ = jax.lax.scan(
+            step, (X, Y, yb, jnp.int32(0), jnp.int32(0)), subkeys
         )
-        return X, Y, correct, skipped
+        return X, Y, yb, correct, skipped
 
     return epoch
 
 
 def _bpr_epoch_sharded(
-    X, Y, userids, itemids, indptr, key, lr, reg,
-    steps, batch, verify_neg, bisect_iters, mesh, axis_name="d",
+    X, Y, yb, userids, itemids, indptr, table, key, lr, reg,
+    steps, batch, verify_neg, bisect_iters, mh, mesh, axis_name="d",
 ):
     """Runs one multi-chip BPR epoch (see _build_sharded_epoch)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -207,8 +231,13 @@ def _bpr_epoch_sharded(
     local_batch = -(-batch // n_devices)
     rep = NamedSharding(mesh, P())
 
-    args = [jax.device_put(a, rep) for a in (X, Y, userids, itemids, indptr)]
-    epoch = _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters)
+    args = [
+        jax.device_put(a, rep)
+        for a in (X, Y, yb, userids, itemids, indptr, table)
+    ]
+    epoch = _build_sharded_epoch(
+        mesh, axis_name, steps, local_batch, verify_neg, bisect_iters, mh
+    )
     return epoch(*args, jax.device_put(key, rep), lr, reg)
 
 
@@ -307,11 +336,25 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         max_row = int(user_counts.max()) if len(user_counts) else 1
         bisect_iters = int(np.ceil(np.log2(max(max_row, 2)))) + 1
 
-        X = jnp.asarray(self.user_factors, dtype=jnp.float32)
-        Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
+        # exact O(1) negative verification via the cuckoo pair table; the
+        # bisection handles shapes the table can't (see ops/membership.py)
+        mh = None
+        table = np.zeros((1, 1), dtype=np.uint16)
+        if self.verify_negative_samples:
+            pt = membership.build_pair_table(user_items)
+            if pt is not None:
+                mh = (pt.a_bits, pt.b_bits, pt.bucket_bits)
+                table = pt.table
+
+        # device layout: (.., factors) blocks + separate item-bias vector —
+        # keeps rows lane-aligned at pow2 factor counts (see _bpr_epoch)
+        X = jnp.asarray(self.user_factors[:, : self.factors], dtype=jnp.float32)
+        Y = jnp.asarray(self.item_factors[:, : self.factors], dtype=jnp.float32)
+        yb = jnp.asarray(self.item_factors[:, self.factors], dtype=jnp.float32)
         uids = jnp.asarray(userids)
         iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
         indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
+        table_d = jnp.asarray(table)
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
 
@@ -327,16 +370,16 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                 s = time.time()
                 key, subkey = jax.random.split(key)
                 if mesh is not None:
-                    X, Y, correct, skipped = _bpr_epoch_sharded(
-                        X, Y, uids, iids, indptr, subkey,
+                    X, Y, yb, correct, skipped = _bpr_epoch_sharded(
+                        X, Y, yb, uids, iids, indptr, table_d, subkey,
                         jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                        steps, batch, self.verify_negative_samples, bisect_iters, mesh,
+                        steps, batch, self.verify_negative_samples, bisect_iters, mh, mesh,
                     )
                 else:
-                    X, Y, correct, skipped = _bpr_epoch(
-                        X, Y, uids, iids, indptr, subkey,
+                    X, Y, yb, correct, skipped = _bpr_epoch(
+                        X, Y, yb, uids, iids, indptr, table_d, subkey,
                         jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                        steps, batch, self.verify_negative_samples, bisect_iters,
+                        steps, batch, self.verify_negative_samples, bisect_iters, mh,
                     )
                 correct = int(correct)
                 skipped = int(skipped)
@@ -357,8 +400,16 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                 if callback:
                     callback(epoch, time.time() - s, correct, skipped)
 
-        self.user_factors = np.array(X, dtype=self.dtype)
-        self.item_factors = np.array(Y, dtype=self.dtype)
+        # reassemble the public factors+1 layout (bias as trailing column,
+        # user bias column pinned to 1.0 — reference bpr.pyx layout)
+        users_f = np.empty((users, self.factors + 1), dtype=self.dtype)
+        users_f[:, : self.factors] = np.array(X)
+        users_f[:, self.factors] = self.user_factors[:, self.factors]
+        items_f = np.empty((items, self.factors + 1), dtype=self.dtype)
+        items_f[:, : self.factors] = np.array(Y)
+        items_f[:, self.factors] = np.array(yb)
+        self.user_factors = users_f
+        self.item_factors = items_f
         self._check_fit_errors()
 
     def save(self, fileobj_or_path):

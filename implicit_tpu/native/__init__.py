@@ -59,6 +59,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.topk_rows.restype = ctypes.c_int64
+        lib.cuckoo_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.cuckoo_build.restype = ctypes.c_int32
         _lib = lib
     except Exception as exc:  # pragma: no cover - toolchain-dependent
         log.debug("native runtime unavailable, using numpy fallbacks: %s", exc)
@@ -144,3 +150,22 @@ def topk_rows(indptr, indices, data, K, row_offset=0):
         empty = np.array([], dtype=np.int32)
         return empty, empty.copy(), np.array([], dtype=np.float64)
     return np.concatenate(out_r), np.concatenate(out_c), np.concatenate(out_v)
+
+
+def cuckoo_build(u, i, a_bits, b_bits, bucket_bits):
+    """Native bucketized-cuckoo placement for the pair-membership table.
+
+    Returns the (nbuckets, 4) uint32 table, or None when the native library
+    is unavailable or placement failed (caller uses the numpy build).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    u32 = np.ascontiguousarray(u, dtype=np.uint32)
+    i32 = np.ascontiguousarray(i, dtype=np.uint32)
+    table = np.zeros(((1 << bucket_bits), 4), dtype=np.uint32)
+    rc = lib.cuckoo_build(
+        _ptr(u32, ctypes.c_uint32), _ptr(i32, ctypes.c_uint32),
+        len(u32), a_bits, b_bits, bucket_bits, _ptr(table, ctypes.c_uint32),
+    )
+    return table if rc == 0 else None
