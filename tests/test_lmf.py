@@ -31,48 +31,64 @@ def test_finite_factors():
     assert np.isfinite(model.item_factors).all()
 
 
-def test_negative_pool_marginal_is_popularity_weighted():
-    """The grouped shared pools must draw negatives with the same marginal
-    distribution as the reference's RNGVector (uniform over the nnz index
-    array = popularity-weighted over items, lmf.pyx:275-284)."""
+def test_window_pool_marginal_is_popularity_weighted():
+    """Window pools must draw negatives with the same marginal distribution
+    as the reference's RNGVector (uniform over the nnz index array =
+    popularity-weighted over items, lmf.pyx:275-284). A window of the
+    shuffled multiset at a uniform offset gives every array slot equal
+    probability, so the marginal is exactly the popularity distribution."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     # item popularity 4:2:1
-    sample_cols = jnp.asarray(np.array([0] * 4000 + [1] * 2000 + [2] * 1000,
-                                       dtype=np.int32))
-    nnz = sample_cols.shape[0]
+    cols = np.array([0] * 4000 + [1] * 2000 + [2] * 1000, dtype=np.int32)
+    rng = np.random.default_rng(5)
+    P = 512
+    arr = cols.copy()
+    rng.shuffle(arr)
+    arr = np.concatenate([arr, arr[:P]])  # wrap pad, as fit() does
+    span = len(cols)
+
     counts = np.zeros(3)
-    for seed in range(20):
-        nidx = jax.random.randint(jax.random.PRNGKey(seed), (16, 512), 0, nnz)
-        drawn = np.asarray(sample_cols[nidx]).ravel()
-        counts += np.bincount(drawn, minlength=3)
+    for seed in range(40):
+        off = jax.random.randint(jax.random.PRNGKey(seed), (16,), 0, span)
+        win = np.asarray(jax.vmap(
+            lambda o: jax.lax.dynamic_slice(jnp.asarray(arr), (o,), (P,))
+        )(off))
+        counts += np.bincount(win.ravel(), minlength=3)
     freq = counts / counts.sum()
     np.testing.assert_allclose(freq, [4 / 7, 2 / 7, 1 / 7], atol=0.01)
+
+
+def _row_update_args(rng, C, L, F, items, span_len):
+    import jax.numpy as jnp
+
+    X = jnp.asarray(rng.rand(C, F).astype(np.float32))
+    dss = jnp.zeros((C, F), dtype=jnp.float32)
+    Y = jnp.asarray(rng.rand(items, F).astype(np.float32))
+    arr = rng.randint(0, items, size=span_len + 64).astype(np.int32)
+    Ypop = Y[jnp.asarray(arr)].astype(jnp.bfloat16)
+    crows = jnp.arange(C, dtype=jnp.int32)
+    cidx = jnp.asarray(rng.randint(0, items, size=(C, L)).astype(np.int32))
+    cdat = jnp.asarray(rng.rand(C, L).astype(np.float32) + 1)
+    clen = jnp.full((C,), L, dtype=jnp.int32)
+    return X, dss, Y, Ypop, crows, cidx, cdat, clen
 
 
 def test_grouped_pools_decorrelate_rows():
     """Rows in different 8-row groups of a chunk see different pools."""
     import jax
-    import numpy as np
-    from scipy.sparse import csr_matrix
+    import jax.numpy as jnp
 
     from implicit_tpu.models.lmf import _row_update
-    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     C, L, F, items = 16, 4, 8, 50
-    X = jnp.asarray(rng.rand(C, F).astype(np.float32))
-    dss = jnp.zeros((C, F), dtype=jnp.float32)
-    Y = jnp.asarray(rng.rand(items, F).astype(np.float32))
-    cols = jnp.asarray(rng.randint(0, items, size=400).astype(np.int32))
-    crows = jnp.arange(C, dtype=jnp.int32)
-    cidx = jnp.asarray(rng.randint(0, items, size=(C, L)).astype(np.int32))
-    cdat = jnp.asarray(rng.rand(C, L).astype(np.float32) + 1)
-    clen = jnp.full((C,), L, dtype=jnp.int32)
+    X, dss, Y, Ypop, crows, cidx, cdat, clen = _row_update_args(
+        rng, C, L, F, items, span_len=400
+    )
 
-    x, d = _row_update(X, dss, Y, cols, crows, cidx, cdat, clen,
+    x, d = _row_update(X, dss, Y, Ypop, 400, crows, cidx, cdat, clen,
                        jax.random.PRNGKey(7), jnp.float32(1.0),
                        jnp.float32(0.0), jnp.int32(30), 64)
     assert np.isfinite(np.asarray(x)).all()
@@ -87,7 +103,7 @@ def test_grouped_pools_decorrelate_rows():
     # a warm accumulator keeps the step proportional to the gradient so
     # pool noise stays visible. Few draws (neg_prop=1 -> 4 per row).
     dss2 = jnp.full((C, F), 10.0, dtype=jnp.float32)
-    x2, _ = _row_update(X2, dss2, Y, cols, crows, cidx2, cdat2, clen,
+    x2, _ = _row_update(X2, dss2, Y, Ypop, 400, crows, cidx2, cdat2, clen,
                         jax.random.PRNGKey(7), jnp.float32(1.0),
                         jnp.float32(0.0), jnp.int32(1), 8)
     x2 = np.asarray(x2)
