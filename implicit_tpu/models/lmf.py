@@ -51,16 +51,18 @@ from .mf_base import MatrixFactorizationBase
 log = logging.getLogger("implicit_tpu")
 
 
-def _row_update(X, dss, Y, Ypop, span, crows, cidx, cdat, clen, ckey,
-                lr, reg, neg_prop, neg_count):
+def _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen, ckey,
+                lr, reg, neg_prop, neg_count, window=True):
     """AdaGrad-updated (x, d) for one chunk's rows (shared by both paths).
 
     X, dss : (U, F) factors and AdaGrad squared-gradient accumulators
     Y : (I, F) fixed factors of the other side
-    Ypop : (span + neg_count, F) bfloat16 — the other side's factors
-        gathered through the per-fit popularity shuffle (see module
-        docstring); a window of it is a popularity-weighted draw
-    span : static int — number of valid window start offsets
+    neg_src : with ``window`` (the fast path), (span + neg_count, F)
+        bfloat16 — the other side's factors gathered through the per-fit
+        popularity shuffle (see module docstring); a window of it is a
+        popularity-weighted draw. Otherwise (pools too large for HBM) the
+        raw (span,) int32 interaction column array, sampled per entry.
+    span : static int — number of valid window start offsets / columns
     crows/cidx/cdat/clen : (C,) / (C, L) chunk tensors
     neg_count : static shared negative-pool size (min(I, L * neg_prop));
         user c consumes the pool's first min(I, clen[c] * neg_prop) rows
@@ -88,10 +90,14 @@ def _row_update(X, dss, Y, Ypop, span, crows, cidx, cdat, clen, ckey,
     C, F = x.shape
     G = -(-C // 8)  # pad to whole 8-row groups (static per class)
     xg = jnp.pad(x, ((0, G * 8 - C), (0, 0))).reshape(G, 8, F)
-    off = jax.random.randint(ckey, (G,), 0, span)
-    Yn = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(Ypop, (o, 0), (neg_count, F))
-    )(off)  # (G, P, F) bf16 — G slice-DMAs, not G*P row gathers
+    if window:
+        off = jax.random.randint(ckey, (G,), 0, span)
+        Yn = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(neg_src, (o, 0), (neg_count, F))
+        )(off)  # (G, P, F) bf16 — G slice-DMAs, not G*P row gathers
+    else:
+        nidx = jax.random.randint(ckey, (G, neg_count), 0, span)
+        Yn = Y[neg_src[nidx]].astype(jnp.bfloat16)
     ncount = jnp.minimum(Y.shape[0], clen * neg_prop)
     nmask = jnp.arange(neg_count, dtype=jnp.int32)[None, :] < ncount[:, None]
     s_neg = jax.nn.sigmoid(
@@ -114,20 +120,34 @@ def _build_pool(Y, arrangement):
     return Y[arrangement].astype(jnp.bfloat16)
 
 
+def _pool_bytes(nnz, pmax, width):
+    """HBM footprint of a window pool: the minor dim lane-pads to 128s."""
+    return (nnz + pmax) * (-(-width // 128) * 128) * 2
+
+
+# window pools beyond this fall back to the legacy per-entry gather path
+# (a factors+2 = 130 column pool lane-pads to 256 — ~9GB at last.fm scale
+# with f=128, an HBM OOM; a packed flat layout was tried and compiles
+# pathologically)
+_POOL_BYTE_BUDGET = 5 << 30
+
+
 @functools.partial(
-    jax.jit, static_argnames=("span", "neg_count", "pin_col"), donate_argnums=(0, 1)
+    jax.jit,
+    static_argnames=("span", "neg_count", "pin_col", "window"),
+    donate_argnums=(0, 1),
 )
 def _lmf_class_update(
-    X, dss, Y, Ypop, span, rows, idx, dat, lengths, keys, lr, reg, neg_prop,
-    neg_count, pin_col,
+    X, dss, Y, neg_src, span, rows, idx, dat, lengths, keys, lr, reg, neg_prop,
+    neg_count, pin_col, window=True,
 ):
     """AdaGrad update of X rows for all chunks of one bucket class."""
 
     def chunk_step(carry, chunk):
         X, dss = carry
         crows, cidx, cdat, clen, ckey = chunk
-        x, d = _row_update(X, dss, Y, Ypop, span, crows, cidx, cdat, clen,
-                           ckey, lr, reg, neg_prop, neg_count)
+        x, d = _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen,
+                           ckey, lr, reg, neg_prop, neg_count, window)
         X = X.at[crows].set(x, mode="drop")
         dss = dss.at[crows].set(d, mode="drop")
         return (X, dss), None
@@ -138,7 +158,8 @@ def _lmf_class_update(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col):
+def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col,
+                                window=True):
     """Compiled multi-chip LMF class update (cached per mesh/class config).
 
     Explicit shard_map analogue of the single-chip update (the BPR treatment,
@@ -162,7 +183,7 @@ def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def update(X, dss, Y, Ypop, rows, idx, dat, lengths, keys, lr, reg,
+    def update(X, dss, Y, neg_src, rows, idx, dat, lengths, keys, lr, reg,
                neg_prop):
         dev = jax.lax.axis_index(axis_name)
 
@@ -170,8 +191,9 @@ def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col):
             X, dss = carry
             crows, cidx, cdat, clen, ckey = chunk  # this chip's row slice
             ckey = jax.random.fold_in(ckey, dev)  # distinct pools per shard
-            x, d = _row_update(X, dss, Y, Ypop, span, crows, cidx, cdat,
-                               clen, ckey, lr, reg, neg_prop, neg_count)
+            x, d = _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat,
+                               clen, ckey, lr, reg, neg_prop, neg_count,
+                               window)
             all_rows = jax.lax.all_gather(crows, axis_name, tiled=True)
             all_x = jax.lax.all_gather(x, axis_name, tiled=True)
             all_d = jax.lax.all_gather(d, axis_name, tiled=True)
@@ -312,7 +334,13 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
              for cls in item_buckets.classes), default=1,
         )
 
-        def _arrangement(cols, pmax):
+        width = self.factors + 2
+        window_u = _pool_bytes(span, pmax_u, width) <= _POOL_BYTE_BUDGET
+        window_i = _pool_bytes(span, pmax_i, width) <= _POOL_BYTE_BUDGET
+
+        def _arrangement(cols, pmax, window):
+            if not window:  # legacy path samples the raw column array
+                return cols.astype(np.int32)
             arr = cols.astype(np.int32).copy()
             rs.shuffle(arr)
             reps = [arr]
@@ -322,8 +350,8 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                 pad -= len(reps[-1])
             return np.concatenate(reps) if len(reps) > 1 else arr
 
-        arr_u = _arrangement(user_items.indices, pmax_u)
-        arr_i = _arrangement(item_users.indices, pmax_i)
+        arr_u = _arrangement(user_items.indices, pmax_u, window_u)
+        arr_i = _arrangement(item_users.indices, pmax_i, window_i)
         if self.mesh is not None:
             arr_u = replicated(mesh, arr_u)
             arr_i = replicated(mesh, arr_i)
@@ -337,38 +365,39 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         neg_prop = jnp.int32(self.neg_prop)
 
         if self.mesh is not None:
-            def class_update(X, dss, Y, pool, cls, keys, neg_count, pin_col):
-                update = _build_sharded_class_update(mesh, "d", span, neg_count, pin_col)
+            def class_update(X, dss, Y, pool, cls, keys, neg_count, pin_col, window):
+                update = _build_sharded_class_update(mesh, "d", span, neg_count,
+                                                     pin_col, window)
                 return update(X, dss, Y, pool, cls.rows, cls.indices, cls.data,
                               cls.lengths, keys, lr, reg, neg_prop)
         else:
-            def class_update(X, dss, Y, pool, cls, keys, neg_count, pin_col):
+            def class_update(X, dss, Y, pool, cls, keys, neg_count, pin_col, window):
                 return _lmf_class_update(X, dss, Y, pool, span, cls.rows,
                                          cls.indices, cls.data, cls.lengths,
                                          keys, lr, reg, neg_prop, neg_count,
-                                         pin_col)
+                                         pin_col, window)
 
         log.debug("Running %i LMF training epochs", self.iterations)
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
             for epoch in range(self.iterations):
                 s = time.time()
                 # pools snapshot the fixed side's factors once per half-epoch
-                pool_u = _build_pool(Y, arr_u)
+                pool_u = _build_pool(Y, arr_u) if window_u else arr_u
                 for cls in user_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)
                     X, dssX = class_update(
                         X, dssX, Y, pool_u, cls, keys,
-                        int(min(items, cls.L * self.neg_prop)), -2,
+                        int(min(items, cls.L * self.neg_prop)), -2, window_u,
                     )
                 del pool_u
-                pool_i = _build_pool(X, arr_i)
+                pool_i = _build_pool(X, arr_i) if window_i else arr_i
                 for cls in item_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)
                     Y, dssY = class_update(
                         Y, dssY, X, pool_i, cls, keys,
-                        int(min(users, cls.L * self.neg_prop)), -1,
+                        int(min(users, cls.L * self.neg_prop)), -1, window_i,
                     )
                 del pool_i
                 progress.update(1)

@@ -109,3 +109,16 @@ def test_grouped_pools_decorrelate_rows():
     x2 = np.asarray(x2)
     np.testing.assert_allclose(x2[0], x2[7])    # same group -> same pool
     assert np.abs(x2[0] - x2[8]).max() > 1e-3   # different group -> different
+
+
+def test_legacy_gather_fallback(monkeypatch):
+    """Pools too large for HBM fall back to per-entry gathers and still train."""
+    from implicit_tpu.models import lmf as lmf_mod
+
+    monkeypatch.setattr(lmf_mod, "_POOL_BYTE_BUDGET", 0)
+    rng = np.random.RandomState(5)
+    mat = (rng.rand(50, 40) < 0.2).astype(np.float32)
+    model = LogisticMatrixFactorization(factors=6, iterations=8, random_state=5)
+    model.fit(csr_matrix(mat), show_progress=False)
+    assert np.isfinite(model.user_factors).all()
+    assert np.isfinite(model.item_factors).all()
