@@ -34,8 +34,15 @@ USERS = 360_000
 ITEMS = 160_000
 NNZ = 17_500_000
 
-# reference CUDA on A6000, /root/reference/benchmarks/README.md:29-36
+# MovieLens-20M shape after the reference benchmark's 4+ star filter
+# (/root/reference/benchmarks/README.md:65-66): 138k x 27k, ~12M nonzeros
+ML20M_USERS = 138_000
+ML20M_ITEMS = 27_000
+ML20M_NNZ = 12_000_000
+
+# reference CUDA on A6000, /root/reference/benchmarks/README.md:29-36,51-58
 A6000_S_PER_ITER = {64: 0.446, 128: 0.389, 192: 0.513, 256: 0.631}
+A6000_ML20M_S_PER_ITER = {64: 0.328, 128: 0.227, 192: 0.265, 256: 0.300}
 HEADLINE_FACTORS = 128
 
 
@@ -170,7 +177,7 @@ def main():
     # ALS across factor counts: bf16 tiles with f32 accumulation is the
     # TPU-native production mode (analogous to the reference GPU's fp16);
     # the f32 mode is benchmarked at the headline factor count as well
-    for f in (64, 128, 256):
+    for f in (64, 128, 192, 256):
         s = stage(f"als{f}", lambda f=f: bench_als(
             Cui, user_buckets, item_buckets, f, "bfloat16"))
         extras[f"als_f{f}_s_per_iter"] = {
@@ -183,6 +190,19 @@ def main():
         "value": round(s_f32, 4),
         "vs_baseline": round(A6000_S_PER_ITER[128] / s_f32, 3),
     }
+
+    # the reference's second benchmark dataset (ML-20M shape)
+    ml_cui = generate_synthetic(ML20M_USERS, ML20M_ITEMS, ML20M_NNZ, seed=1)
+    ml_ciu = ml_cui.T.tocsr()
+    ml_ub = BucketedCSR(ml_cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    ml_ib = BucketedCSR(ml_ciu, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    s_ml = stage("ml20m_als128", lambda: bench_als(
+        ml_cui, ml_ub, ml_ib, 128, "bfloat16"))
+    extras["ml20m_als_f128_s_per_iter"] = {
+        "value": round(s_ml, 4),
+        "vs_baseline": round(A6000_ML20M_S_PER_ITER[128] / s_ml, 3),
+    }
+    del ml_ub, ml_ib
 
     qps = stage("serving", lambda: bench_serving(Cui))
     extras["recommend_users_per_s_batch1024_160k_items"] = {"value": round(qps)}
