@@ -152,7 +152,10 @@ def ranking_metrics_at_k(
     to_generate = np.arange(users, dtype="int32")
     to_generate = to_generate[np.ediff1d(test_user_items.indptr) > 0]
 
-    batch_size = 1000
+    # large batches amortize the per-call dispatch round trip (the top-k op
+    # chunks internally by device memory, so big batches are safe); the
+    # reference uses 1000 (evaluation.pyx:66) but pays no dispatch latency
+    batch_size = 8192
     start_idx = 0
 
     progress = tqdm(total=len(to_generate), disable=not show_progress)
