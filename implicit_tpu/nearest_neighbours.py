@@ -129,6 +129,7 @@ def _all_pairs_knn_host(user_items, K):
 # the dense device gramian holds an items x items f32 matrix: cap the
 # catalog so it stays well inside HBM (36k^2 f32 = 5.2GB)
 _DEVICE_KNN_MAX_ITEMS = 36_000
+_DEVICE_KNN_DENSE_BYTES = 1 << 29  # densified-chunk budget (tests shrink it)
 
 
 def _device_knn_wins(csr):
@@ -180,12 +181,35 @@ def _all_pairs_knn_device(user_items, K):
     # big densified chunks: every accumulate reads+writes the whole (I, I)
     # gramian, so the chunk count — not the matmul — dominates HBM traffic;
     # a 2GB D still leaves the 5.2GB worst-case S plus headroom in HBM
-    chunk = max(8, min(users, (1 << 29) // max(items, 1)))
+    chunk = max(8, min(users, _DEVICE_KNN_DENSE_BYTES // max(items, 1)))
 
-    @functools.partial(jax.jit, static_argnames=("n_rows", "n_items"), donate_argnums=(0,))
-    def accumulate(S, rows, cols, vals, n_rows, n_items):
-        D = jnp.zeros((n_rows, n_items), jnp.float32).at[rows, cols].add(
-            vals, mode="drop"
+    # one COO upload for the whole matrix; each chunk is a fixed-size
+    # dynamic_slice of it (overrun into the next chunk and the tail padding
+    # land outside the chunk's local row range and are dropped by the
+    # scatter) — no per-chunk host packing or transfer
+    indptr = csr.indptr
+    starts = list(range(0, users, chunk))
+    cap = max(
+        int(indptr[min(s + chunk, users)] - indptr[s]) for s in starts
+    ) if starts else 1
+    cap = max(cap, 1)
+    uids = np.repeat(np.arange(users, dtype=np.int32), np.diff(indptr))
+    d_uids = jnp.asarray(np.concatenate([uids, np.full(cap, users, np.int32)]))
+    d_cols = jnp.asarray(np.concatenate(
+        [csr.indices.astype(np.int32), np.zeros(cap, np.int32)]))
+    d_vals = jnp.asarray(np.concatenate(
+        [csr.data.astype(np.float32), np.zeros(cap, np.float32)]))
+
+    @functools.partial(
+        jax.jit, static_argnames=("cap", "n_rows", "n_items"), donate_argnums=(0,)
+    )
+    def accumulate(S, uids, cols, vals, lo, start, cap, n_rows, n_items):
+        u = jax.lax.dynamic_slice(uids, (lo,), (cap,))
+        c = jax.lax.dynamic_slice(cols, (lo,), (cap,))
+        v = jax.lax.dynamic_slice(vals, (lo,), (cap,))
+        local = u - start  # >= n_rows for entries past this chunk -> dropped
+        D = jnp.zeros((n_rows, n_items), jnp.float32).at[local, c].add(
+            v, mode="drop"
         )
         # HIGH (3-pass bf16, ~1e-6 relative) halves the MXU time of HIGHEST
         # while staying far inside the host path's f64-vs-f32 agreement
@@ -200,31 +224,22 @@ def _all_pairs_knn_device(user_items, K):
         return jax.lax.top_k(Sb, k)
 
     S = jnp.zeros((items, items), jnp.float32)
-    indptr = csr.indptr
-    for start in range(0, users, chunk):
-        stop = min(start + chunk, users)
-        lo, hi = indptr[start], indptr[stop]
-        rows = (csr.indptr[start : stop + 1] - lo).astype(np.int64)
-        local = np.repeat(np.arange(stop - start, dtype=np.int32), np.diff(rows))
-        # pad the entry list to a power-of-two bucket (bounds recompiles);
-        # padding rows point past the chunk and are dropped by the scatter
-        n = hi - lo
-        cap = 1 << int(np.ceil(np.log2(max(n, 1))))
-        pad_rows = np.full(cap, chunk, dtype=np.int32)
-        pad_cols = np.zeros(cap, dtype=np.int32)
-        pad_vals = np.zeros(cap, dtype=np.float32)
-        pad_rows[:n] = local
-        pad_cols[:n] = csr.indices[lo:hi]
-        pad_vals[:n] = csr.data[lo:hi].astype(np.float32)
-        S = accumulate(S, jnp.asarray(pad_rows), jnp.asarray(pad_cols),
-                       jnp.asarray(pad_vals), chunk, items)
+    for start in starts:
+        S = accumulate(
+            S, d_uids, d_cols, d_vals, jnp.int32(indptr[start]),
+            jnp.int32(start), cap, chunk, items,
+        )
 
     k = min(K, items)
-    row_block = max(8, min(items, (1 << 23) // max(items, 1)))
-    triples = []
+    row_block = max(8, min(items, (1 << 25) // max(items, 1)))
+    # enqueue every block first (dispatches are async), then fetch: a
+    # per-block fetch would serialize ~dozens of transport round trips
+    pending = []
     for start in range(0, items, row_block):
         stop = min(start + row_block, items)
-        vals, cols = topk_block(S[start:stop], k)
+        pending.append((start, topk_block(S[start:stop], k)))
+    triples = []
+    for start, (vals, cols) in pending:
         vals = np.asarray(vals, dtype=np.float64)
         cols = np.asarray(cols)
         # only co-occurring pairs carry similarity: with the nonnegative

@@ -145,3 +145,25 @@ def test_device_method_rejects_oversized_catalogs():
     wide.data[:] = 1.0
     with pytest.raises(ValueError, match="method='host'"):
         all_pairs_knn(wide, 5, method="device")
+
+
+def test_all_pairs_knn_device_multichunk(monkeypatch):
+    """Slice-overrun/padding handling when users span many densified chunks."""
+    import implicit_tpu.nearest_neighbours as nn
+
+    rng = np.random.RandomState(9)
+    from scipy.sparse import random as sparse_random
+
+    counts = sparse_random(200, 50, density=0.2, random_state=rng, format="csr")
+    counts.data = np.ceil(counts.data * 5)
+
+    host = all_pairs_knn(counts, 5, method="host").tocsr()
+    # tiny chunk budget: 200 users / ~10-row chunks -> ~20 chunks with
+    # slice overruns at every boundary and tail padding in the last
+    monkeypatch.setattr(nn, "_DEVICE_KNN_DENSE_BYTES", 512)
+    device = all_pairs_knn(counts, 5, method="device").tocsr()
+
+    for row in range(host.shape[0]):
+        h_scores = sorted(host[row].data, reverse=True)
+        d_scores = sorted(device[row].data, reverse=True)
+        np.testing.assert_allclose(h_scores, d_scores, rtol=1e-5)
