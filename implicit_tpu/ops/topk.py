@@ -24,8 +24,10 @@ import numpy as np
 NEG_MAX = -float(np.finfo(np.float32).max)
 
 # fallback bound on the score-matrix working set per chunk (float32
-# elements) when the backend doesn't report memory stats
-_MAX_SCORE_ELEMENTS = 1 << 26  # 64M floats = 256MB
+# elements) when the backend doesn't report memory stats: 1GB — roomy on
+# any TPU generation (remote transports often return no memory stats, and
+# an undersized fallback splits serving batches into extra round trips)
+_MAX_SCORE_ELEMENTS = 1 << 28
 
 
 def _score_budget_elements():
@@ -34,7 +36,7 @@ def _score_budget_elements():
     Sized from the device's live memory headroom — half of free HBM, capped
     at 4GB — the same policy as the reference GPU's temp-memory pool
     (/root/reference/implicit/gpu/knn.cu:56-75,169-173). Backends that don't
-    expose memory stats (CPU) fall back to a fixed 256MB working set.
+    expose memory stats fall back to a fixed 1GB working set.
     """
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -126,6 +128,9 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
 
     query_on_device = isinstance(query, jax.Array)
 
+    # enqueue every chunk's computation first, fetch afterwards: dispatches
+    # are async, so a per-chunk fetch would serialize transport round trips
+    pending = []
     start = 0
     while start < q_rows:
         stop = min(start + chunk, q_rows)
@@ -173,9 +178,12 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
             use_qf,
             use_if,
         )
+        pending.append((start, stop, rows_here, vals, idx))
+        start = stop
+
+    for start, stop, rows_here, vals, idx in pending:
         ids_out[start:stop] = np.asarray(idx)[:rows_here]
         scores_out[start:stop] = np.asarray(vals)[:rows_here]
-        start = stop
 
     if k_eff < k:
         pad_ids = np.full((q_rows, k - k_eff), -1, dtype=np.int32)
