@@ -160,52 +160,61 @@ def ranking_metrics_at_k(
 
     progress = tqdm(total=len(to_generate), disable=not show_progress)
 
+    # host-side metric math runs on sub-slices so the (B, K, Lmax)
+    # membership broadcast stays bounded even when one user in the large
+    # recommend batch carries a very long test row
+    sub = 1024
+
     while start_idx < len(to_generate):
         batch = to_generate[start_idx : start_idx + batch_size]
-        ids, _ = model.recommend(batch, train_user_items[batch], N=K)
+        all_ids, _ = model.recommend(batch, train_user_items[batch], N=K)
         start_idx += batch_size
-        B = len(batch)
 
-        # pad each user's test row to the batch max for broadcast membership
-        likes_count = (test_indptr[batch + 1] - test_indptr[batch]).astype(np.int64)
-        Lmax = int(likes_count.max())
-        # pad with -2: recommend() pads short results with -1, which must not
-        # collide with the padding sentinel here
-        padded = np.full((B, Lmax), -2, dtype=np.int64)
-        within = np.arange(likes_count.sum(), dtype=np.int64) - np.repeat(
-            np.cumsum(likes_count) - likes_count, likes_count
-        )
-        rows = np.repeat(np.arange(B, dtype=np.int64), likes_count)
-        src = np.repeat(test_indptr[batch].astype(np.int64), likes_count) + within
-        padded[rows, within] = test_indices[src]
+        for s0 in range(0, len(batch), sub):
+            sb = batch[s0 : s0 + sub]
+            ids = all_ids[s0 : s0 + sub]
+            B = len(sb)
 
-        hits = (ids[:, :, None] == padded[:, None, :]).any(axis=2)  # (B, K)
+            # pad each user's test row to the slice max for broadcast membership
+            likes_count = (test_indptr[sb + 1] - test_indptr[sb]).astype(np.int64)
+            Lmax = int(likes_count.max())
+            # pad with -2: recommend() pads short results with -1, which must
+            # not collide with the padding sentinel here
+            padded = np.full((B, Lmax), -2, dtype=np.int64)
+            within = np.arange(likes_count.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(likes_count) - likes_count, likes_count
+            )
+            rows = np.repeat(np.arange(B, dtype=np.int64), likes_count)
+            src = np.repeat(test_indptr[sb].astype(np.int64), likes_count) + within
+            padded[rows, within] = test_indices[src]
 
-        num_pos = likes_count.astype(np.float64)
-        num_neg = items - num_pos
-        k_eff = np.minimum(K, num_pos)
+            hits = (ids[:, :, None] == padded[:, None, :]).any(axis=2)  # (B, K)
 
-        relevant += hits.sum()
-        pr_div += k_eff.sum()
+            num_pos = likes_count.astype(np.float64)
+            num_neg = items - num_pos
+            k_eff = np.minimum(K, num_pos)
 
-        hit_cum = np.cumsum(hits, axis=1)  # inclusive cumulative hits
-        ranks = np.arange(1, ids.shape[1] + 1, dtype=np.float64)
-        ap = (hits * hit_cum / ranks).sum(axis=1)
-        mean_ap += (ap / k_eff).sum()
+            relevant += hits.sum()
+            pr_div += k_eff.sum()
 
-        idcg = cg_sum[(k_eff - 1).astype(np.int64)]
-        ndcg += (hits * (cg[None, : ids.shape[1]] / idcg[:, None])).sum()
+            hit_cum = np.cumsum(hits, axis=1)  # inclusive cumulative hits
+            ranks = np.arange(1, ids.shape[1] + 1, dtype=np.float64)
+            ap = (hits * hit_cum / ranks).sum(axis=1)
+            mean_ap += (ap / k_eff).sum()
 
-        # AUC: each miss at rank i contributes the hits seen so far
-        miss = ~hits
-        auc = (miss * hit_cum).sum(axis=1).astype(np.float64)
-        miss_total = miss.sum(axis=1)
-        hit_total = hits.sum(axis=1)
-        auc += ((hit_total + num_pos) / 2.0) * (num_neg - miss_total)
-        mean_auc += (auc / (num_pos * num_neg)).sum()
+            idcg = cg_sum[(k_eff - 1).astype(np.int64)]
+            ndcg += (hits * (cg[None, : ids.shape[1]] / idcg[:, None])).sum()
 
-        total += B
-        progress.update(B)
+            # AUC: each miss at rank i contributes the hits seen so far
+            miss = ~hits
+            auc = (miss * hit_cum).sum(axis=1).astype(np.float64)
+            miss_total = miss.sum(axis=1)
+            hit_total = hits.sum(axis=1)
+            auc += ((hit_total + num_pos) / 2.0) * (num_neg - miss_total)
+            mean_auc += (auc / (num_pos * num_neg)).sum()
+
+            total += B
+            progress.update(B)
 
     progress.close()
     return {

@@ -320,6 +320,15 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
             ) / self.factors
             self.user_factors[user_counts == 0] = np.zeros(self.factors + 1)
             self.user_factors[:, self.factors] = 1.0
+        elif not np.allclose(self.user_factors[:, self.factors], 1.0):
+            # the split-bias device layout scores with the user bias column
+            # fixed at its pinned value; make that explicit for externally
+            # supplied factors instead of silently diverging
+            log.warning(
+                "BPR pins the user bias column (user_factors[:, factors]) "
+                "to 1.0 during training; overwriting supplied values"
+            )
+            self.user_factors[:, self.factors] = 1.0
 
         self._user_norms = self._item_norms = None
 
@@ -341,7 +350,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         mh = None
         table = np.zeros((1, 1), dtype=np.uint16)
         if self.verify_negative_samples:
-            pt = membership.build_pair_table(user_items)
+            pt = membership.build_pair_table(user_items, row_ids=userids)
             if pt is not None:
                 mh = (pt.a_bits, pt.b_bits, pt.bucket_bits)
                 table = pt.table

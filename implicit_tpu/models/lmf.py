@@ -341,7 +341,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         def _arrangement(cols, pmax, window):
             if not window:  # legacy path samples the raw column array
                 return cols.astype(np.int32)
-            arr = cols.astype(np.int32).copy()
+            arr = cols.astype(np.int32)  # astype always returns a fresh copy
             rs.shuffle(arr)
             reps = [arr]
             pad = pmax

@@ -93,6 +93,11 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="
                 "there: its cost scales with co-occurring pairs, not "
                 "items^2 x users)"
             )
+        if user_items.nnz >= 1 << 31:
+            raise ValueError(
+                "method='device' slices the COO stream with int32 offsets; "
+                "matrices with >= 2^31 nonzeros must use method='host'"
+            )
         return _all_pairs_knn_device(user_items, K)
     return _all_pairs_knn_host(user_items, K)
 
@@ -147,6 +152,8 @@ def _device_knn_wins(csr):
         return False
     users, items = csr.shape
     if items > _DEVICE_KNN_MAX_ITEMS or items < 2 or csr.nnz == 0:
+        return False
+    if csr.nnz >= 1 << 31:  # device path slices the COO with int32 offsets
         return False
     if csr.data.min() < 0:
         return False

@@ -123,12 +123,14 @@ def _id_bits(n):
     return max(1, int(np.ceil(np.log2(max(int(n), 2)))))
 
 
-def build_pair_table(user_items, max_load=0.85):
+def build_pair_table(user_items, max_load=0.85, row_ids=None):
     """Builds a PairTable for a CSR matrix, or None if the shape won't fit.
 
     Sizing: pow2 bucket count targeting ``max_load`` occupancy of the
     4-slot buckets; 16-bit slots when remainder+flags fit (halves the
     table, keeping last.fm-scale tables below the TPU gather cliff).
+    ``row_ids`` optionally supplies the per-entry row-id expansion of the
+    CSR (callers that already built it skip a second O(nnz) pass).
     """
     users, items = user_items.shape
     nnz = user_items.nnz
@@ -144,9 +146,12 @@ def build_pair_table(user_items, max_load=0.85):
     dtype = np.uint16 if rem_bits + 2 <= 16 else np.uint32
     nbuckets = 1 << bucket_bits
 
-    u = np.repeat(
-        np.arange(users, dtype=np.uint32), np.ediff1d(user_items.indptr)
-    )
+    if row_ids is not None:
+        u = np.asarray(row_ids).astype(np.uint32, copy=False)
+    else:
+        u = np.repeat(
+            np.arange(users, dtype=np.uint32), np.ediff1d(user_items.indptr)
+        )
     i = user_items.indices.astype(np.uint32)
 
     # native placement when the C++ runtime is available (the vectorized

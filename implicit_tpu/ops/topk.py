@@ -23,11 +23,13 @@ import numpy as np
 
 NEG_MAX = -float(np.finfo(np.float32).max)
 
-# fallback bound on the score-matrix working set per chunk (float32
-# elements) when the backend doesn't report memory stats: 1GB — roomy on
-# any TPU generation (remote transports often return no memory stats, and
-# an undersized fallback splits serving batches into extra round trips)
+# fallback bounds on the score-matrix working set per chunk (float32
+# elements) when the backend doesn't report memory stats: 1GB on
+# accelerators (remote transports often return no memory stats, and an
+# undersized fallback splits serving batches into extra round trips);
+# 256MB on plain CPU hosts, which may be small CI containers
 _MAX_SCORE_ELEMENTS = 1 << 28
+_MAX_SCORE_ELEMENTS_CPU = 1 << 26
 
 
 def _score_budget_elements():
@@ -36,7 +38,7 @@ def _score_budget_elements():
     Sized from the device's live memory headroom — half of free HBM, capped
     at 4GB — the same policy as the reference GPU's temp-memory pool
     (/root/reference/implicit/gpu/knn.cu:56-75,169-173). Backends that don't
-    expose memory stats fall back to a fixed 1GB working set.
+    expose memory stats fall back to a fixed working set.
     """
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -44,6 +46,8 @@ def _score_budget_elements():
         budget_bytes = min(free // 2, 4 << 30)
         return max(budget_bytes // 4, 1 << 22)
     except Exception:
+        if jax.default_backend() == "cpu":
+            return _MAX_SCORE_ELEMENTS_CPU
         return _MAX_SCORE_ELEMENTS
 
 
@@ -128,9 +132,19 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
 
     query_on_device = isinstance(query, jax.Array)
 
-    # enqueue every chunk's computation first, fetch afterwards: dispatches
-    # are async, so a per-chunk fetch would serialize transport round trips
+    # pipeline chunk computations: dispatches are async, so fetching each
+    # chunk before enqueueing the next would serialize transport round
+    # trips; a bounded in-flight window keeps peak device memory at a few
+    # chunks' buffers instead of the whole query's
+    _MAX_IN_FLIGHT = 4
     pending = []
+
+    def _drain(limit):
+        while len(pending) > limit:
+            s0, s1, rows_n, vals, idx = pending.pop(0)
+            ids_out[s0:s1] = np.asarray(idx)[:rows_n]
+            scores_out[s0:s1] = np.asarray(vals)[:rows_n]
+
     start = 0
     while start < q_rows:
         stop = min(start + chunk, q_rows)
@@ -179,11 +193,10 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
             use_if,
         )
         pending.append((start, stop, rows_here, vals, idx))
+        _drain(_MAX_IN_FLIGHT - 1)
         start = stop
 
-    for start, stop, rows_here, vals, idx in pending:
-        ids_out[start:stop] = np.asarray(idx)[:rows_here]
-        scores_out[start:stop] = np.asarray(vals)[:rows_here]
+    _drain(0)
 
     if k_eff < k:
         pad_ids = np.full((q_rows, k - k_eff), -1, dtype=np.int32)
