@@ -76,3 +76,30 @@ def FaissAlternatingLeastSquares(
         nprobe=nprobe,
         use_gpu=use_gpu,
     )
+
+
+def TPUIVFAlternatingLeastSquares(
+    *args,
+    approximate_similar_items=True,
+    approximate_recommend=True,
+    n_clusters=None,
+    n_probe=None,
+    **kwargs,
+):
+    """ALS model served by an on-device IVF index — no external ANN library.
+
+    The TPU-native counterpart of ``FaissAlternatingLeastSquares(use_gpu=True)``
+    (/root/reference/implicit/ann/faiss.py:62-137): inverted lists are built
+    by spherical k-means on the accelerator and queried as probed-cluster
+    block matmuls (see implicit_tpu.ann.ivf).
+    """
+    from .ann.ivf import TPUIVFModel
+
+    als_model = als.AlternatingLeastSquares(*args, **kwargs)
+    return TPUIVFModel(
+        als_model,
+        approximate_similar_items=approximate_similar_items,
+        approximate_recommend=approximate_recommend,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+    )

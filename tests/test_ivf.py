@@ -1,0 +1,103 @@
+"""TPU-native IVF index tests (implicit_tpu/ann/ivf.py)."""
+
+import numpy as np
+import pytest
+from scipy.sparse import csr_matrix
+
+from implicit_tpu.als import AlternatingLeastSquares
+from implicit_tpu.ann.ivf import TPUIVFModel, _IVFIndex
+from implicit_tpu.approximate_als import TPUIVFAlternatingLeastSquares
+
+
+def _clustered_points(n, f, groups, rng):
+    centers = rng.standard_normal((groups, f)).astype(np.float32) * 3
+    pts = centers[rng.integers(0, groups, n)] + rng.standard_normal((n, f)).astype(np.float32) * 0.3
+    return pts.astype(np.float32)
+
+
+def test_index_recall_vs_exact():
+    rng = np.random.default_rng(0)
+    pts = _clustered_points(4000, 16, 32, rng)
+    norms = np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    index = _IVFIndex(pts / norms, n_clusters=64, kmeans_iters=10, seed=3)
+
+    hits = total = 0
+    for qi in range(50):
+        q = pts[qi] / np.linalg.norm(pts[qi])
+        ids, scores = index.search(q, 10, n_probe=8)
+        exact = np.argsort(-(pts / norms) @ q)[:10]
+        hits += len(set(ids.tolist()) & set(exact.tolist()))
+        total += 10
+        # scores must be the exact cosine for whatever was returned
+        np.testing.assert_allclose(
+            scores, (pts[ids] / norms[ids].ravel()[:, None] @ q.reshape(-1, 1)).ravel(),
+            rtol=1e-4, atol=1e-5,
+        )
+    assert hits / total > 0.85, hits / total
+
+
+def test_probing_everything_is_exact():
+    rng = np.random.default_rng(1)
+    pts = _clustered_points(500, 8, 10, rng)
+    index = _IVFIndex(pts, n_clusters=16, kmeans_iters=10, seed=0)
+    q = rng.standard_normal(8).astype(np.float32)
+    ids, scores = index.search(q, 20, n_probe=16)  # probe all clusters
+    exact = np.argsort(-pts @ q)[:20]
+    exact_scores = np.sort(pts @ q)[::-1][:20]
+    np.testing.assert_allclose(np.sort(scores)[::-1], exact_scores, rtol=1e-4, atol=1e-5)
+    assert set(ids.tolist()) == set(exact.tolist())
+
+
+def _likes():
+    rng = np.random.RandomState(5)
+    dense = (rng.rand(120, 80) < 0.2).astype(np.float32)
+    return csr_matrix(dense)
+
+
+def test_wrapper_end_to_end():
+    likes = _likes()
+    model = TPUIVFAlternatingLeastSquares(
+        factors=16, iterations=5, random_state=2, n_probe=1000,  # probe all
+    )
+    model.fit(likes, show_progress=False)
+
+    ids, scores = model.recommend(3, likes[3], N=5)
+    assert len(ids) == 5
+    assert np.isfinite(scores).all()
+    # probing every cluster makes the ANN path exact: must match the model
+    exact_ids, _ = model.model.recommend(3, likes[3], N=5)
+    assert set(ids.tolist()) == set(exact_ids.tolist())
+
+    sids, sscores = model.similar_items(7, N=5)
+    exact_sids, exact_sscores = model.model.similar_items(7, N=5)
+    assert set(sids.tolist()) == set(exact_sids.tolist())
+    # cosine score convention matches the exact path
+    order = np.argsort(sids)
+    eorder = np.argsort(exact_sids)
+    np.testing.assert_allclose(
+        np.asarray(sscores)[order], np.asarray(exact_sscores)[eorder], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_wrapper_filters():
+    likes = _likes()
+    model = TPUIVFAlternatingLeastSquares(
+        factors=16, iterations=5, random_state=2, n_probe=1000,
+    )
+    model.fit(likes, show_progress=False)
+    ids, _ = model.recommend(0, likes[0], N=5, filter_items=[1, 2, 3])
+    assert not {1, 2, 3} & set(ids.tolist())
+    ids, _ = model.recommend(0, likes[0], N=5, filter_already_liked_items=True)
+    assert not set(likes[0].indices.tolist()) & set(ids.tolist())
+
+
+def test_exact_fallback_paths():
+    likes = _likes()
+    model = TPUIVFAlternatingLeastSquares(
+        factors=8, iterations=3, random_state=1,
+        approximate_recommend=False, approximate_similar_items=False,
+    )
+    model.fit(likes, show_progress=False)
+    ids, _ = model.recommend(1, likes[1], N=4)
+    exact_ids, _ = model.model.recommend(1, likes[1], N=4)
+    np.testing.assert_array_equal(ids, exact_ids)
