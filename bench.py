@@ -89,6 +89,32 @@ def bench_sgd_epochs(model_cls, Cui, **kwargs):
     return min(times[1:]) if len(times) > 1 else times[0]
 
 
+def bench_serving_device(Cui, factors=128, batch=8192, k=10, reps=10):
+    """Ops-layer top-k throughput (users/s): factor tables and queries
+    already device-resident, per-query liked-filters on. Approximates
+    colocated-production serving; the end-to-end rows below additionally
+    pay the public API's host-side prep and the session's transport."""
+    import jax.numpy as jnp
+
+    from implicit_tpu.ops import topk as topk_ops
+
+    rng = np.random.default_rng(3)
+    items = jnp.asarray(rng.standard_normal((Cui.shape[1], factors), dtype=np.float32))
+    queries = jnp.asarray(rng.standard_normal((batch, factors), dtype=np.float32))
+    _sync(items), _sync(queries)
+
+    def run():
+        t0 = time.time()
+        for i in range(reps):
+            ids, _ = topk_ops.topk(
+                items, queries, k, filter_query_items=Cui[:batch]
+            )
+        return time.time() - t0
+
+    run()  # warmup / compile
+    return batch * reps / min(run() for _ in range(3))
+
+
 def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
     """End-to-end batched recommend throughput (users/s), own-likes filtered."""
     from implicit_tpu.als import AlternatingLeastSquares
@@ -204,6 +230,8 @@ def main():
     }
     del ml_ub, ml_ib
 
+    qps_dev = stage("serving_dev", lambda: bench_serving_device(Cui))
+    extras["topk_users_per_s_resident_batch8192_160k_items"] = {"value": round(qps_dev)}
     qps = stage("serving", lambda: bench_serving(Cui))
     extras["recommend_users_per_s_batch1024_160k_items"] = {"value": round(qps)}
     # bigger batches amortize the per-call host/transport round trip
