@@ -57,11 +57,11 @@ def _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen, ckey,
 
     X, dss : (U, F) factors and AdaGrad squared-gradient accumulators
     Y : (I, F) fixed factors of the other side
-    neg_src : with ``window`` (the fast path), (span + neg_count, F)
-        bfloat16 — the other side's factors gathered through the per-fit
-        popularity shuffle (see module docstring); a window of it is a
-        popularity-weighted draw. Otherwise (pools too large for HBM) the
-        raw (span,) int32 interaction column array, sampled per entry.
+    neg_src : with ``window`` (the fast path), the split pool from
+        :func:`_build_pool` — the other side's factors gathered through
+        the per-fit popularity shuffle; a window of it is a popularity-
+        weighted draw. Otherwise (pools too large for HBM) the raw
+        (span,) int32 interaction column array, sampled per entry.
     span : static int — number of valid window start offsets / columns
     crows/cidx/cdat/clen : (C,) / (C, L) chunk tensors
     neg_count : static shared negative-pool size (min(I, L * neg_prop));
@@ -90,23 +90,55 @@ def _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen, ckey,
     C, F = x.shape
     G = -(-C // 8)  # pad to whole 8-row groups (static per class)
     xg = jnp.pad(x, ((0, G * 8 - C), (0, 0))).reshape(G, 8, F)
-    if window:
-        off = jax.random.randint(ckey, (G,), 0, span)
-        Yn = jax.vmap(
-            lambda o: jax.lax.dynamic_slice(neg_src, (o, 0), (neg_count, F))
-        )(off)  # (G, P, F) bf16 — G slice-DMAs, not G*P row gathers
-    else:
-        nidx = jax.random.randint(ckey, (G, neg_count), 0, span)
-        Yn = Y[neg_src[nidx]].astype(jnp.bfloat16)
     ncount = jnp.minimum(Y.shape[0], clen * neg_prop)
     nmask = jnp.arange(neg_count, dtype=jnp.int32)[None, :] < ncount[:, None]
-    s_neg = jax.nn.sigmoid(
-        jnp.einsum("gcf,gpf->gcp", xg.astype(jnp.bfloat16), Yn,
-                   preferred_element_type=jnp.float32)
-    ).reshape(G * 8, -1)[:C] * nmask  # (C, P)
-    s_pad = jnp.pad(s_neg, ((0, G * 8 - C), (0, 0))).reshape(G, 8, -1)
-    neg = jnp.einsum("gcp,gpf->gcf", s_pad.astype(jnp.bfloat16), Yn,
-                     preferred_element_type=jnp.float32).reshape(G * 8, F)[:C]
+    if window and isinstance(neg_src, tuple):
+        # split pool: lane-aligned factor block + the two tail columns.
+        # score = f-dot + u0*t0 + u1*t1 covers both sides symmetrically
+        # (user rows end [1, b_u], item rows [b_i, 1] — either way the
+        # cross terms reduce to b_i + b_u)
+        pf, pt0, pt1 = neg_src
+        off = jax.random.randint(ckey, (G,), 0, span)
+        Yn = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(pf, (o, 0), (neg_count, F - 2))
+        )(off)  # (G, P, F-2) bf16 — G slice-DMAs, not G*P row gathers
+        tn0 = jax.vmap(lambda o: jax.lax.dynamic_slice(pt0, (o,), (neg_count,)))(off)
+        tn1 = jax.vmap(lambda o: jax.lax.dynamic_slice(pt1, (o,), (neg_count,)))(off)
+        xf = xg[:, :, : F - 2]
+        logits = (
+            jnp.einsum("gcf,gpf->gcp", xf.astype(jnp.bfloat16), Yn,
+                       preferred_element_type=jnp.float32)
+            + xg[:, :, F - 2, None] * tn0[:, None, :].astype(jnp.float32)
+            + xg[:, :, F - 1, None] * tn1[:, None, :].astype(jnp.float32)
+        )
+        s_neg = jax.nn.sigmoid(logits).reshape(G * 8, -1)[:C] * nmask
+        s_pad = jnp.pad(s_neg, ((0, G * 8 - C), (0, 0))).reshape(G, 8, -1)
+        s16 = s_pad.astype(jnp.bfloat16)
+        neg_f = jnp.einsum("gcp,gpf->gcf", s16, Yn,
+                           preferred_element_type=jnp.float32)
+        neg0 = jnp.einsum("gcp,gp->gc", s16, tn0,
+                          preferred_element_type=jnp.float32)
+        neg1 = jnp.einsum("gcp,gp->gc", s16, tn1,
+                          preferred_element_type=jnp.float32)
+        neg = jnp.concatenate(
+            [neg_f, neg0[..., None], neg1[..., None]], axis=-1
+        ).reshape(G * 8, F)[:C]
+    else:
+        if window:  # glued full-width pool: one window slice
+            off = jax.random.randint(ckey, (G,), 0, span)
+            Yn = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(neg_src, (o, 0), (neg_count, F))
+            )(off)  # (G, P, F) bf16 — G slice-DMAs, not G*P row gathers
+        else:  # legacy per-entry gathers (pools too large for HBM)
+            nidx = jax.random.randint(ckey, (G, neg_count), 0, span)
+            Yn = Y[neg_src[nidx]].astype(jnp.bfloat16)
+        s_neg = jax.nn.sigmoid(
+            jnp.einsum("gcf,gpf->gcp", xg.astype(jnp.bfloat16), Yn,
+                       preferred_element_type=jnp.float32)
+        ).reshape(G * 8, -1)[:C] * nmask  # (C, P)
+        s_pad = jnp.pad(s_neg, ((0, G * 8 - C), (0, 0))).reshape(G, 8, -1)
+        neg = jnp.einsum("gcp,gpf->gcf", s_pad.astype(jnp.bfloat16), Yn,
+                         preferred_element_type=jnp.float32).reshape(G * 8, F)[:C]
 
     deriv = pos - neg - reg * x
     d = d + deriv * deriv
@@ -114,21 +146,46 @@ def _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen, ckey,
     return x, d
 
 
-@functools.partial(jax.jit, donate_argnums=())
-def _build_pool(Y, arrangement):
-    """The other side's factors gathered through the popularity shuffle."""
-    return Y[arrangement].astype(jnp.bfloat16)
+@functools.partial(jax.jit, static_argnames=("split",), donate_argnums=())
+def _build_pool(Y, arrangement, split):
+    """The other side's factors gathered through the popularity shuffle.
+
+    Two layouts, chosen by :func:`_pool_split`: glued full-width rows when
+    the two tail columns ride inside the factor block's lane padding for
+    free, else a split layout — the F factor columns as one lane-aligned
+    bf16 block plus the tails (bias / pinned one — their roles mirror
+    between the user and item sides, so both are carried symmetrically) as
+    1-D arrays. A glued factors+2-wide pool would lane-pad 130 -> 256
+    columns at f=128 (~9GB at last.fm scale, an HBM OOM) and the split
+    block pads to exactly F there; at narrow widths the glued layout is
+    both free and faster (the split's tail cross terms cost extra passes
+    over the negative score matrix).
+    """
+    rows = Y[arrangement]
+    if not split:
+        return rows.astype(jnp.bfloat16)
+    return (
+        rows[:, :-2].astype(jnp.bfloat16),
+        rows[:, -2].astype(jnp.bfloat16),
+        rows[:, -1].astype(jnp.bfloat16),
+    )
+
+
+def _pool_split(width):
+    """Split the tails out only when they would force an extra lane tile."""
+    return -(-width // 128) > -(-(width - 2) // 128)
 
 
 def _pool_bytes(nnz, pmax, width):
-    """HBM footprint of a window pool: the minor dim lane-pads to 128s."""
+    """HBM footprint of a window pool (width = factors + 2)."""
+    if _pool_split(width):
+        f_pad = -(-(width - 2) // 128) * 128
+        return (nnz + pmax) * (f_pad * 2 + 4)
     return (nnz + pmax) * (-(-width // 128) * 128) * 2
 
 
 # window pools beyond this fall back to the legacy per-entry gather path
-# (a factors+2 = 130 column pool lane-pads to 256 — ~9GB at last.fm scale
-# with f=128, an HBM OOM; a packed flat layout was tried and compiles
-# pathologically)
+# (a packed flat 1-D layout was tried and compiles pathologically)
 _POOL_BYTE_BUDGET = 5 << 30
 
 
@@ -159,7 +216,7 @@ def _lmf_class_update(
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col,
-                                window=True):
+                                window=True, split=False):
     """Compiled multi-chip LMF class update (cached per mesh/class config).
 
     Explicit shard_map analogue of the single-chip update (the BPR treatment,
@@ -173,12 +230,15 @@ def _build_sharded_class_update(mesh, axis_name, span, neg_count, pin_col,
     from jax.sharding import PartitionSpec as P
 
     S = P(None, axis_name)
+    # a split window pool is a (factors, tail0, tail1) tuple, all
+    # replicated; glued/legacy paths pass one replicated array
+    pool_spec = (P(), P(), P()) if (window and split) else P()
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), S, P(None, axis_name, None),
+        in_specs=(P(), P(), P(), pool_spec, S, P(None, axis_name, None),
                   P(None, axis_name, None), S, P(None), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
@@ -335,6 +395,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         )
 
         width = self.factors + 2
+        split = _pool_split(width)
         window_u = _pool_bytes(span, pmax_u, width) <= _POOL_BYTE_BUDGET
         window_i = _pool_bytes(span, pmax_i, width) <= _POOL_BYTE_BUDGET
 
@@ -367,7 +428,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         if self.mesh is not None:
             def class_update(X, dss, Y, pool, cls, keys, neg_count, pin_col, window):
                 update = _build_sharded_class_update(mesh, "d", span, neg_count,
-                                                     pin_col, window)
+                                                     pin_col, window, split)
                 return update(X, dss, Y, pool, cls.rows, cls.indices, cls.data,
                               cls.lengths, keys, lr, reg, neg_prop)
         else:
@@ -382,7 +443,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
             for epoch in range(self.iterations):
                 s = time.time()
                 # pools snapshot the fixed side's factors once per half-epoch
-                pool_u = _build_pool(Y, arr_u) if window_u else arr_u
+                pool_u = _build_pool(Y, arr_u, split) if window_u else arr_u
                 for cls in user_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)
@@ -391,7 +452,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                         int(min(items, cls.L * self.neg_prop)), -2, window_u,
                     )
                 del pool_u
-                pool_i = _build_pool(X, arr_i) if window_i else arr_i
+                pool_i = _build_pool(X, arr_i, split) if window_i else arr_i
                 for cls in item_buckets.classes:
                     key, subkey = jax.random.split(key)
                     keys = jax.random.split(subkey, cls.n_chunks)

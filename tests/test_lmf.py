@@ -63,11 +63,13 @@ def test_window_pool_marginal_is_popularity_weighted():
 def _row_update_args(rng, C, L, F, items, span_len):
     import jax.numpy as jnp
 
+    from implicit_tpu.models.lmf import _build_pool
+
     X = jnp.asarray(rng.rand(C, F).astype(np.float32))
     dss = jnp.zeros((C, F), dtype=jnp.float32)
     Y = jnp.asarray(rng.rand(items, F).astype(np.float32))
     arr = rng.randint(0, items, size=span_len + 64).astype(np.int32)
-    Ypop = Y[jnp.asarray(arr)].astype(jnp.bfloat16)
+    Ypop = _build_pool(Y, jnp.asarray(arr), True)
     crows = jnp.arange(C, dtype=jnp.int32)
     cidx = jnp.asarray(rng.randint(0, items, size=(C, L)).astype(np.int32))
     cdat = jnp.asarray(rng.rand(C, L).astype(np.float32) + 1)
@@ -122,3 +124,34 @@ def test_legacy_gather_fallback(monkeypatch):
     model.fit(csr_matrix(mat), show_progress=False)
     assert np.isfinite(model.user_factors).all()
     assert np.isfinite(model.item_factors).all()
+
+
+def test_split_pool_scores_are_full_dot_products():
+    """The split pool's f-dot + tail cross terms must equal the full-width
+    dot product for arbitrary tail values (the tails' roles mirror between
+    the user and item sides, so no pinning is assumed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from implicit_tpu.models.lmf import _build_pool
+
+    rng = np.random.RandomState(4)
+    S, F = 200, 10  # full width 10 = 8 factors + 2 tails
+    Y = jnp.asarray(rng.rand(50, F).astype(np.float32))
+    arr = jnp.asarray(rng.randint(0, 50, size=S).astype(np.int32))
+    pf, t0, t1 = _build_pool(Y, arr, True)
+
+    x = rng.rand(3, F).astype(np.float32)
+    # split evaluation at a window
+    off = 17
+    P = 20
+    block = np.asarray(pf[off:off + P]).astype(np.float32)
+    tails0 = np.asarray(t0[off:off + P]).astype(np.float32)
+    tails1 = np.asarray(t1[off:off + P]).astype(np.float32)
+    split = (
+        x[:, :F - 2] @ block.T
+        + x[:, F - 2:F - 1] * tails0[None, :]
+        + x[:, F - 1:F] * tails1[None, :]
+    )
+    full = x @ np.asarray(Y)[np.asarray(arr)[off:off + P]].T
+    np.testing.assert_allclose(split, full, rtol=2e-2, atol=1e-2)  # bf16 pool
