@@ -47,33 +47,34 @@ from .base import ANNWrapperBase
 log = logging.getLogger("implicit_tpu")
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_run(X, key, k, iters):
+    """Jitted spherical k-means (module-level: repeat builds hit the cache)."""
+    n = X.shape[0]
+    init = jax.random.choice(key, n, (k,), replace=False)
+    C = X[init]
+
+    def step(C, _):
+        assign = jnp.argmax(
+            jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1
+        )
+        sums = jnp.zeros_like(C).at[assign].add(X)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        C = jnp.where(norms > 1e-12, sums / jnp.maximum(norms, 1e-12), C)
+        return C, None
+
+    C, _ = jax.lax.scan(step, C, None, length=iters)
+    assign = jnp.argmax(jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1)
+    return C, assign
+
+
 def _kmeans(points, n_clusters, iters, seed):
     """Spherical k-means on device; returns (n_clusters, F) unit centroids.
 
     ``points`` must be L2-normalized rows. Empty clusters keep their previous
     centroid (no NaNs, no host round-trips mid-loop).
     """
-
-    @functools.partial(jax.jit, static_argnames=("k", "iters"))
-    def run(X, key, k, iters):
-        n = X.shape[0]
-        init = jax.random.choice(key, n, (k,), replace=False)
-        C = X[init]
-
-        def step(C, _):
-            assign = jnp.argmax(
-                jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1
-            )
-            sums = jnp.zeros_like(C).at[assign].add(X)
-            norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
-            C = jnp.where(norms > 1e-12, sums / jnp.maximum(norms, 1e-12), C)
-            return C, None
-
-        C, _ = jax.lax.scan(step, C, None, length=iters)
-        assign = jnp.argmax(jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1)
-        return C, assign
-
-    return run(points, jax.random.PRNGKey(seed), n_clusters, iters)
+    return _kmeans_run(points, jax.random.PRNGKey(seed), n_clusters, iters)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "p", "cap"))
@@ -134,15 +135,27 @@ class _IVFIndex:
         self.n = n
 
     def search(self, query, count, n_probe):
-        """Exact scores within the ``n_probe`` best clusters -> (ids, scores)."""
+        """Exact scores within the ``n_probe`` best clusters -> (ids, scores).
+
+        Returns at most ``min(count, n_probe * max cluster size)`` results —
+        like any IVF, candidates outside the probed clusters are unseen (the
+        wrapper's exact-fallback/oversampling handles small-N accuracy).
+        """
         count = min(count, self.n)
         n_probe = min(n_probe, self.centroids.shape[0])
+        # bucket the top-k width to a pow2 so per-user over-fetch variation
+        # (count = N + len(liked) + filters) doesn't recompile per query,
+        # and clamp to the number of candidate scores actually probed
+        k = min(count, n_probe * self.cap)
+        k_padded = min(1 << max(int(np.ceil(np.log2(max(k, 1)))), 0),
+                       n_probe * self.cap)
+        k_padded = max(k_padded, k)
         ids, vals = _ivf_search(
             self.points, self.ids, self.centroids, self.starts, self.counts,
-            jnp.asarray(query, dtype=jnp.float32), count, n_probe, self.cap,
+            jnp.asarray(query, dtype=jnp.float32), k_padded, n_probe, self.cap,
         )
-        ids = np.asarray(ids)
-        vals = np.asarray(vals)
+        ids = np.asarray(ids)[:k]
+        vals = np.asarray(vals)[:k]
         keep = ids >= 0
         return ids[keep], vals[keep]
 

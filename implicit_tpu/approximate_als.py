@@ -84,6 +84,7 @@ def TPUIVFAlternatingLeastSquares(
     approximate_recommend=True,
     n_clusters=None,
     n_probe=None,
+    kmeans_iters=15,
     **kwargs,
 ):
     """ALS model served by an on-device IVF index — no external ANN library.
@@ -102,4 +103,7 @@ def TPUIVFAlternatingLeastSquares(
         approximate_recommend=approximate_recommend,
         n_clusters=n_clusters,
         n_probe=n_probe,
+        kmeans_iters=kmeans_iters,
+        # seed the index build alongside the model (deterministic refits)
+        random_state=kwargs.get("random_state"),
     )

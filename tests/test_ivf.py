@@ -101,3 +101,28 @@ def test_exact_fallback_paths():
     ids, _ = model.recommend(1, likes[1], N=4)
     exact_ids, _ = model.model.recommend(1, likes[1], N=4)
     np.testing.assert_array_equal(ids, exact_ids)
+
+
+def test_search_count_exceeding_probed_candidates():
+    """count > n_probe * cap must clamp, not crash (top_k width bound)."""
+    rng = np.random.default_rng(2)
+    pts = _clustered_points(500, 8, 10, rng)
+    index = _IVFIndex(pts, n_clusters=16, kmeans_iters=5, seed=0)
+    q = rng.standard_normal(8).astype(np.float32)
+    ids, scores = index.search(q, 400, n_probe=2)  # far beyond 2 clusters
+    assert len(ids) <= 2 * index.cap
+    assert len(ids) == len(scores)
+    assert np.isfinite(scores).all()
+
+
+def test_factory_is_deterministic_and_accepts_kmeans_iters():
+    likes = _likes()
+    out = []
+    for _ in range(2):
+        model = TPUIVFAlternatingLeastSquares(
+            factors=8, iterations=3, random_state=9, n_probe=2, kmeans_iters=5,
+        )
+        model.fit(likes, show_progress=False)
+        ids, _ = model.recommend(2, likes[2], N=5)
+        out.append(ids)
+    np.testing.assert_array_equal(out[0], out[1])
