@@ -43,6 +43,9 @@ def make_model(name):
         "faiss_als": lambda: approximate_als.FaissAlternatingLeastSquares(
             factors=128, dtype=np.float32
         ),
+        "tpu_ivf_als": lambda: approximate_als.TPUIVFAlternatingLeastSquares(
+            factors=128, dtype=np.float32
+        ),
         "bpr": lambda: implicit_tpu.bpr.BayesianPersonalizedRanking(factors=63),
         "lmf": lambda: implicit_tpu.lmf.LogisticMatrixFactorization(
             factors=30, iterations=40, regularization=1.5
@@ -58,7 +61,7 @@ def make_model(name):
 
 
 MODEL_NAMES = [
-    "als", "nmslib_als", "annoy_als", "faiss_als",
+    "als", "nmslib_als", "annoy_als", "faiss_als", "tpu_ivf_als",
     "bpr", "lmf", "cosine", "tfidf", "bm25",
 ]
 

@@ -40,11 +40,32 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.sparse import csr_matrix
 
 from ..utils import augment_inner_product_matrix, check_random_state
 from .base import ANNWrapperBase
 
 log = logging.getLogger("implicit_tpu")
+
+
+def _trim_rows(ids, scores, row_filters, N):
+    """Per-row filter + trim of over-fetched batch results.
+
+    Rows shorter than N pad with id -1 / score -FLT_MAX (the _batch_call
+    contract, utils.py:96-105).
+    """
+    B = len(ids)
+    out_i = np.full((B, N), -1, np.int32)
+    out_s = np.full((B, N), -np.finfo(np.float32).max, np.float32)
+    for r in range(B):
+        keep = ids[r] >= 0
+        f = row_filters[r]
+        if f is not None and len(f):
+            keep &= ~np.isin(ids[r], f)
+        sel = np.nonzero(keep)[0][:N]
+        out_i[r, : len(sel)] = ids[r][sel]
+        out_s[r, : len(sel)] = scores[r][sel]
+    return out_i, out_s
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
@@ -77,10 +98,7 @@ def _kmeans(points, n_clusters, iters, seed):
     return _kmeans_run(points, jax.random.PRNGKey(seed), n_clusters, iters)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p", "cap"))
-def _ivf_search(points, ids, centroids, starts, counts, q, k, p, cap):
-    """Jitted probed-cluster search (module-level so the jit cache persists
-    across calls — a per-call inner function would retrace every query)."""
+def _ivf_search_body(points, ids, centroids, starts, counts, q, k, p, cap):
     qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
     _, clusters = jax.lax.top_k(
         jnp.dot(centroids, qn, preferred_element_type=jnp.float32), p
@@ -97,6 +115,22 @@ def _ivf_search(points, ids, centroids, starts, counts, q, k, p, cap):
     scores, bids = jax.vmap(probe)(clusters)
     vals, idx = jax.lax.top_k(scores.reshape(-1), k)
     return bids.reshape(-1)[idx], vals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "cap"))
+def _ivf_search(points, ids, centroids, starts, counts, q, k, p, cap):
+    """Jitted probed-cluster search (module-level so the jit cache persists
+    across calls — a per-call inner function would retrace every query)."""
+    return _ivf_search_body(points, ids, centroids, starts, counts, q, k, p, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "cap"))
+def _ivf_search_many(points, ids, centroids, starts, counts, Q, k, p, cap):
+    """Batched probed-cluster search: vmap of the scalar body over queries."""
+    return jax.vmap(
+        lambda q: _ivf_search_body(points, ids, centroids, starts, counts,
+                                   q, k, p, cap)
+    )(Q)
 
 
 class _IVFIndex:
@@ -158,6 +192,37 @@ class _IVFIndex:
         vals = np.asarray(vals)[:k]
         keep = ids >= 0
         return ids[keep], vals[keep]
+
+    def _k_padded(self, count, n_probe):
+        count = min(count, self.n)
+        n_probe = min(n_probe, self.centroids.shape[0])
+        k = min(count, n_probe * self.cap)
+        k_padded = min(1 << max(int(np.ceil(np.log2(max(k, 1)))), 0),
+                       n_probe * self.cap)
+        return max(k_padded, k), n_probe
+
+    def search_batch(self, queries, count, n_probe, chunk=64):
+        """Batched search -> (B, k) ids / scores, short rows padded with -1.
+
+        Queries run through a vmapped kernel in memory-bounded chunks (each
+        in-flight query holds (n_probe, cap, F) probe blocks); chunk results
+        are all enqueued before any fetch so transport round trips overlap.
+        """
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+        B = queries.shape[0]
+        k, n_probe = self._k_padded(count, n_probe)
+        pending = []
+        for s0 in range(0, B, chunk):
+            q = queries[s0 : s0 + chunk]
+            if q.shape[0] < chunk:  # fixed chunk shape keeps the jit cache warm
+                q = jnp.pad(q, ((0, chunk - q.shape[0]), (0, 0)))
+            pending.append(_ivf_search_many(
+                self.points, self.ids, self.centroids, self.starts,
+                self.counts, q, k, n_probe, self.cap,
+            ))
+        ids = np.concatenate([np.asarray(i) for i, _ in pending])[:B]
+        vals = np.concatenate([np.asarray(v) for _, v in pending])[:B]
+        return ids, vals
 
 
 class TPUIVFModel(ANNWrapperBase):
@@ -221,3 +286,68 @@ class TPUIVFModel(ANNWrapperBase):
     def _query_recommend(self, user_factor, count):
         query = np.append(user_factor.astype(np.float32), 0.0)
         return self.recommend_index.search(query, count, self._probe)
+
+    # ---- native batched serving ----------------------------------------
+    # The wrapper base falls back to one scalar ANN query per id
+    # (utils._batch_call) — fine for host libraries with microsecond
+    # lookups, but each scalar device query pays a transport round trip.
+    # Arrays instead run through one vmapped search per chunk.
+
+    def similar_items(
+        self, itemid, N=10, recalculate_item=False, item_users=None,
+        filter_items=None, items=None,
+    ):
+        if (
+            np.isscalar(itemid) or not self.approximate_similar_items
+            or recalculate_item or items is not None
+        ):
+            return super().similar_items(
+                itemid, N, recalculate_item=recalculate_item,
+                item_users=item_users, filter_items=filter_items, items=items,
+            )
+        itemids = np.asarray(itemid)
+        factors = np.asarray(self.model.item_factors, dtype=np.float32)[itemids]
+        norms = np.maximum(np.linalg.norm(factors, axis=1, keepdims=True), 1e-12)
+        count = N + (len(filter_items) if filter_items is not None else 0)
+        ids, scores = self.similar_items_index.search_batch(
+            factors / norms, count, self._probe
+        )
+        filters = None if filter_items is None else np.asarray(filter_items)
+        return _trim_rows(ids, scores, [filters] * len(itemids), N)
+
+    def recommend(
+        self, userid, user_items, N=10, filter_already_liked_items=True,
+        filter_items=None, recalculate_user=False, items=None,
+    ):
+        if (
+            np.isscalar(userid) or not self.approximate_recommend
+            or recalculate_user or items is not None
+        ):
+            return super().recommend(
+                userid, user_items, N=N,
+                filter_already_liked_items=filter_already_liked_items,
+                filter_items=filter_items, recalculate_user=recalculate_user,
+                items=items,
+            )
+        if filter_already_liked_items and not isinstance(user_items, csr_matrix):
+            raise ValueError("user_items needs to be a CSR sparse matrix")
+
+        userids = np.asarray(userid)
+        base = np.asarray(filter_items) if filter_items is not None else None
+        row_filters = []
+        count = N
+        for r in range(len(userids)):
+            f = base
+            if filter_already_liked_items:
+                liked = user_items[r].indices
+                f = liked if f is None else np.append(f, liked)
+            row_filters.append(f)
+            if f is not None:
+                count = max(count, N + len(f))
+
+        user = np.asarray(self.model.user_factors, dtype=np.float32)[userids]
+        queries = np.concatenate(
+            [user, np.zeros((len(userids), 1), np.float32)], axis=1
+        )
+        ids, scores = self.recommend_index.search_batch(queries, count, self._probe)
+        return _trim_rows(ids, scores, row_filters, N)

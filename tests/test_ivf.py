@@ -126,3 +126,28 @@ def test_factory_is_deterministic_and_accepts_kmeans_iters():
         ids, _ = model.recommend(2, likes[2], N=5)
         out.append(ids)
     np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_batched_serving_matches_scalar():
+    likes = _likes()
+    model = TPUIVFAlternatingLeastSquares(
+        factors=16, iterations=5, random_state=2, n_probe=1000,  # probe all
+    )
+    model.fit(likes, show_progress=False)
+
+    userids = np.arange(20)
+    bids, bscores = model.recommend(userids, likes[userids], N=5,
+                                    filter_items=[2, 4])
+    assert bids.shape == (20, 5)
+    for r, u in enumerate(userids):
+        sids, sscores = model.recommend(int(u), likes[[u]], N=5,
+                                        filter_items=[2, 4])
+        np.testing.assert_array_equal(bids[r][: len(sids)], sids)
+    assert not {2, 4} & set(bids.ravel().tolist())
+
+    itemids = np.arange(15)
+    sim_b, _ = model.similar_items(itemids, N=4, filter_items=[0])
+    assert sim_b.shape == (15, 4)
+    for r, it in enumerate(itemids):
+        sim_s, _ = model.similar_items(int(it), N=4, filter_items=[0])
+        np.testing.assert_array_equal(sim_b[r][: len(sim_s)], sim_s)
