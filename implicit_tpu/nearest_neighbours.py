@@ -162,8 +162,8 @@ def _device_knn_wins(csr):
     device_s = (
         float(items) ** 2 * users * 2 / 20e12  # 3-pass f32 MXU gramian (measured)
         + csr.nnz * 1.2e-8  # device scatter densification
-        + csr.nnz * 8 / 150e6  # COO upload over the transport
-        + float(items) ** 2 / 15e9  # device top-k sweep
+        + csr.nnz * 12 / 40e6  # one whole-matrix COO upload (12B/entry)
+        + float(items) ** 2 / 15e9  # device top-k sweep (fetches pipelined)
     )
     # small problems stay on the host: a first-time device fit also pays a
     # one-off XLA compile (tens of seconds) that only large fits amortize
