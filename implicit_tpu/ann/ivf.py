@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.sparse import csr_matrix
 
+from ..ops import topk as _topk_ops
 from ..utils import augment_inner_product_matrix, check_random_state
 from .base import ANNWrapperBase
 
@@ -201,16 +202,23 @@ class _IVFIndex:
                        n_probe * self.cap)
         return max(k_padded, k), n_probe
 
-    def search_batch(self, queries, count, n_probe, chunk=64):
+    def search_batch(self, queries, count, n_probe, chunk=None):
         """Batched search -> (B, k) ids / scores, short rows padded with -1.
 
         Queries run through a vmapped kernel in memory-bounded chunks (each
         in-flight query holds (n_probe, cap, F) probe blocks); chunk results
         are all enqueued before any fetch so transport round trips overlap.
+        ``chunk`` defaults to a memory budget: each in-flight query gathers
+        an (n_probe, cap, F) probe block, so a fixed chunk could demand many
+        GB on skewed large catalogs (big ``cap``) with wide probes.
         """
         queries = jnp.asarray(queries, dtype=jnp.float32)
         B = queries.shape[0]
         k, n_probe = self._k_padded(count, n_probe)
+        if chunk is None:
+            per_query = max(n_probe * self.cap * self.points.shape[1], 1)
+            chunk = max(_topk_ops._score_budget_elements() // per_query, 1)
+            chunk = min(1 << int(np.log2(chunk)), 256)  # pow2 keeps jit cache warm
         pending = []
         for s0 in range(0, B, chunk):
             q = queries[s0 : s0 + chunk]

@@ -32,6 +32,7 @@ _MAX_SCORE_ELEMENTS = 1 << 28
 _MAX_SCORE_ELEMENTS_CPU = 1 << 26
 
 
+@functools.lru_cache(maxsize=1)
 def _score_budget_elements():
     """Float32 elements available for one chunk's score matrix.
 
@@ -39,6 +40,10 @@ def _score_budget_elements():
     at 4GB — the same policy as the reference GPU's temp-memory pool
     (/root/reference/implicit/gpu/knn.cu:56-75,169-173). Backends that don't
     expose memory stats fall back to a fixed working set.
+
+    Cached per process: sampling live free-HBM on every call would let the
+    derived chunk size drift between calls (e.g. after factor uploads),
+    recompiling the chunk kernel mid-serving for no benefit.
     """
     try:
         stats = jax.local_devices()[0].memory_stats()

@@ -240,21 +240,6 @@ def test_factorize_float64_without_x64_warns():
     assert model.user_factors.dtype == np.float64
 
 
-def test_factors_exceed_users_no_nan():
-    """Factor count above the user/item count must not produce NaNs (the
-    scenario of /root/reference/tests/als_test.py:255-269, issue #377:
-    rank-deficient normal matrices on a tiny identity interaction matrix)."""
-    from scipy.sparse import coo_matrix
-
-    likes = coo_matrix((np.ones(10), (np.arange(10), np.arange(10)))).tocsr()
-    model = AlternatingLeastSquares(factors=15, random_state=0)
-    model.fit(likes, show_progress=False)
-
-    ids, scores = model.recommend(0, likes[0], 10, filter_already_liked_items=False)
-    assert not np.isnan(scores).any()
-    assert ids[0] == 0
-
-
 def test_zero_iterations_with_loss():
     """iterations=0 with loss tracking must not crash (reference
     als_test.py:38-42) and must leave usable initialized factors."""
