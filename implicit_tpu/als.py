@@ -24,6 +24,7 @@ def AlternatingLeastSquares(
     num_threads=0,
     random_state=None,
     mesh=None,
+    grid="auto",
 ):
     """Alternating Least Squares.
 
@@ -59,6 +60,10 @@ def AlternatingLeastSquares(
     mesh : jax.sharding.Mesh or int, optional
         Train data-parallel across a device mesh (int = 1-D mesh over that
         many local devices)
+    grid : {"auto", "pow2", "fine"}, optional
+        Row-length bucketing grid: "pow2" (the default) compiles several
+        times faster on a fresh shape; "fine" buys the best steady-state
+        s/iter at a larger one-time compile (see models.als)
 
     Returns
     -------
@@ -76,4 +81,5 @@ def AlternatingLeastSquares(
         num_threads=num_threads,
         random_state=random_state,
         mesh=mesh,
+        grid=grid,
     )

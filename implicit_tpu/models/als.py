@@ -64,6 +64,15 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         over the mesh's row axis, factors stay replicated, XLA inserts the
         ICI collectives. An int builds a 1-D mesh over that many local
         devices; None (default) trains on the single default device.
+    grid : {"auto", "pow2", "fine"}, optional
+        Row-length bucketing grid for the interaction tensors. "pow2"
+        (the "auto" default) groups rows into power-of-two nnz classes:
+        ~4x fewer compiled programs, so a first fit on a fresh shape
+        compiles several times faster, at ~10-20% per-iteration padding
+        cost. "fine" uses the eighth-power-of-two grid (<=1.17x steps,
+        under ~7% padding) for the best steady-state s/iter — the right
+        choice for production refit loops, where the persistent compile
+        cache makes the larger one-time compile free.
     """
 
     def __init__(
@@ -79,6 +88,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         num_threads=0,
         random_state=None,
         mesh=None,
+        grid="auto",
     ):
         super().__init__(num_threads=num_threads)
 
@@ -95,6 +105,9 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self.cg_steps = 3
         self.random_state = random_state
         self.mesh = mesh
+        if grid not in ("auto", "pow2", "fine"):
+            raise ValueError(f"grid must be 'auto', 'pow2' or 'fine', got {grid!r}")
+        self.grid = grid
 
         # cached f x f gramians
         self._YtY = None
@@ -167,22 +180,25 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         compute_itemsize = 2 if self._compute_dtype == "bfloat16" else 4
         target = int(np.clip((4 << 30) // (self.factors * compute_itemsize),
                              1 << 21, 1 << 24))
+        grid = "pow2" if self.grid == "auto" else self.grid
         if self.mesh is not None:
             from ..parallel import create_mesh, shard_buckets
             from ..parallel.mesh import replicated
 
             mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
             user_buckets = shard_buckets(BucketedCSR(Cui, target_entries=target,
-                                                      max_chunk_rows=65536), mesh)
+                                                      max_chunk_rows=65536,
+                                                      grid=grid), mesh)
             item_buckets = shard_buckets(BucketedCSR(Ciu, target_entries=target,
-                                                      max_chunk_rows=65536), mesh)
+                                                      max_chunk_rows=65536,
+                                                      grid=grid), mesh)
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
         else:
             user_buckets = BucketedCSR(Cui, target_entries=target, max_chunk_rows=65536,
-                                       data_dtype=solve_dtype).to_device()
+                                       data_dtype=solve_dtype, grid=grid).to_device()
             item_buckets = BucketedCSR(Ciu, target_entries=target, max_chunk_rows=65536,
-                                       data_dtype=solve_dtype).to_device()
+                                       data_dtype=solve_dtype, grid=grid).to_device()
             X = jnp.asarray(self.user_factors, dtype=solve_dtype)
             Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
         log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)

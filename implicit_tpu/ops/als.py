@@ -32,10 +32,13 @@ implicit/gpu/_cuda.pyx:167-177).
 """
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("implicit_tpu")
 
 HIGH = jax.lax.Precision.HIGHEST
 
@@ -324,9 +327,36 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     cdt = jnp.dtype(compute_dtype).name
     uc, ue = _class_tuples(user_buckets), user_buckets.empty_rows
     ic, ie = _class_tuples(item_buckets), item_buckets.empty_rows
+
+    # cold-fit wall mitigation: the user-side and item-side programs are
+    # independent, and XLA compilation releases the GIL (a C++ call, or an
+    # RPC to the remote compile service), so compile them concurrently via
+    # the AOT API before entering the loop — halves time-to-first-iteration
+    # on a fresh shape; a cache hit makes both lower+compile calls cheap
+    statics = dict(use_cg=use_cg, cg_steps=cg_steps, compute_dtype=cdt,
+                   use_pallas=use_pallas)
+    solve = None
+    if iterations > 0:
+        try:
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(2) as pool:
+                fu = pool.submit(
+                    lambda: _solve_side_jit.lower(X, Y, reg, uc, ue, **statics).compile())
+                fi = pool.submit(
+                    lambda: _solve_side_jit.lower(Y, X, reg, ic, ie, **statics).compile())
+                solve_user, solve_item = fu.result(), fi.result()
+            solve = lambda A, B, c, e, which: (  # noqa: E731
+                solve_user if which == 0 else solve_item)(A, B, reg, c, e)
+        except Exception:  # pragma: no cover - AOT API regression safety net
+            log.warning("concurrent AOT compile failed; falling back to jit path",
+                        exc_info=True)
+    if solve is None:
+        solve = lambda A, B, c, e, which: _solve_side_jit(  # noqa: E731
+            A, B, reg, c, e, use_cg, cg_steps, cdt, use_pallas)
     for _ in range(iterations):
-        X = _solve_side_jit(X, Y, reg, uc, ue, use_cg, cg_steps, cdt, use_pallas)
-        Y = _solve_side_jit(Y, X, reg, ic, ie, use_cg, cg_steps, cdt, use_pallas)
+        X = solve(X, Y, uc, ue, 0)
+        Y = solve(Y, X, ic, ie, 1)
     return X, Y
 
 

@@ -250,3 +250,32 @@ def test_zero_iterations_with_loss():
     model.fit(_csr(np.ones((10, 10), dtype=np.float32)), show_progress=False)
     assert model.user_factors.shape == (10, 16)
     assert np.isfinite(model.user_factors).all()
+
+
+def test_grid_pow2_matches_fine():
+    """The bucketing grid is a compile-time/padding trade only: padding
+    entries carry confidence 0 and are masked, so per-row solves are
+    identical math under either grid."""
+    from scipy.sparse import random as sparse_random
+
+    rng = np.random.default_rng(4)
+    likes = sparse_random(300, 120, density=0.05, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 8, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    fine = AlternatingLeastSquares(factors=16, iterations=6, random_state=5,
+                                   grid="fine")
+    pow2 = AlternatingLeastSquares(factors=16, iterations=6, random_state=5,
+                                   grid="pow2")
+    fine.fit(likes, show_progress=False)
+    pow2.fit(likes, show_progress=False)
+
+    np.testing.assert_allclose(pow2.user_factors, fine.user_factors,
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(pow2.item_factors, fine.item_factors,
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_grid_invalid_rejected():
+    with pytest.raises(ValueError, match="grid"):
+        AlternatingLeastSquares(grid="coarse")

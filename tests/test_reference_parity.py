@@ -167,9 +167,9 @@ def test_als_factors_match_reference(use_cg):
         ours.fit(likes, show_progress=False)
 
     np.testing.assert_allclose(ours.user_factors, ref.user_factors,
-                               rtol=1e-4, atol=1e-6)
+                               rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(ours.item_factors, ref.item_factors,
-                               rtol=1e-4, atol=1e-6)
+                               rtol=1e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("use_cg", [False, True], ids=["cholesky", "cg"])
