@@ -17,7 +17,7 @@ cache.
 import numpy as np
 from scipy.sparse import csr_matrix
 
-from ..ops.topk import topk
+from ..ops.topk import shard_items_for_topk, topk
 from ..recommender_base import RecommenderBase
 
 
@@ -57,6 +57,7 @@ class MatrixFactorizationBase(RecommenderBase):
         self._user_norms, self._item_norms = None, None
         self._item_factors_dev = None
         self._user_factors_dev = None
+        self._mesh_serving_cache = {}
         self.num_threads = num_threads
 
     # -- factor storage + device cache --------------------------------------
@@ -69,6 +70,7 @@ class MatrixFactorizationBase(RecommenderBase):
     def user_factors(self, value):
         self._user_factors = value
         self._user_factors_dev = None
+        self._drop_mesh_cache("user")
 
     @property
     def item_factors(self):
@@ -78,6 +80,7 @@ class MatrixFactorizationBase(RecommenderBase):
     def item_factors(self, value):
         self._item_factors = value
         self._item_factors_dev = None
+        self._drop_mesh_cache("item")
 
     def _user_factors_on_device(self):
         if self._user_factors_dev is None:
@@ -98,7 +101,59 @@ class MatrixFactorizationBase(RecommenderBase):
         state = self.__dict__.copy()
         state["_item_factors_dev"] = None
         state["_user_factors_dev"] = None
+        state["_mesh_serving_cache"] = {}
         return state
+
+    # -- multi-chip serving -------------------------------------------------
+
+    def _serving_mesh(self):
+        """The resolved jax Mesh used for serving, or None (single device).
+
+        Models trained with ``mesh=`` serve through the same mesh: recommend
+        and similar_* score item-sharded with an ICI candidate merge
+        (ops.topk mesh path) instead of on one chip.
+        """
+        mesh = getattr(self, "mesh", None)
+        if mesh is None:
+            return None
+        if isinstance(mesh, int):
+            cache = self._mesh_cache_dict()
+            key = ("mesh", mesh)
+            if key not in cache:
+                from ..parallel import create_mesh
+
+                cache[key] = create_mesh(mesh)
+            return cache[key]
+        return mesh
+
+    def _mesh_cache_dict(self):
+        # defensive: subclasses may hit factor setters before __init__ ran,
+        # and npz load builds instances via __new__
+        cache = getattr(self, "_mesh_serving_cache", None)
+        if cache is None:
+            cache = self._mesh_serving_cache = {}
+        return cache
+
+    def _drop_mesh_cache(self, which):
+        cache = getattr(self, "_mesh_serving_cache", None)
+        if cache:
+            for key in [k for k in cache if k[0] == which]:
+                del cache[key]
+
+    def _factors_on_mesh(self, which, mesh):
+        """Cached padded+sharded factor table (+norms) for mesh serving.
+
+        Returns ``(factors_dev, norms_dev, count)`` where the table is
+        row-sharded over the mesh and norms is the padded cosine-norm vector
+        (always materialized: similar_* needs it, recommend ignores it).
+        """
+        cache = self._mesh_cache_dict()
+        key = (which, mesh)
+        if key not in cache:
+            factors = self._user_factors if which == "user" else self._item_factors
+            norms = self.user_norms if which == "user" else self.item_norms
+            cache[key] = shard_items_for_topk(factors, norms, mesh)
+        return cache[key]
 
     # -- norms ---------------------------------------------------------------
 
@@ -131,6 +186,10 @@ class MatrixFactorizationBase(RecommenderBase):
     def _user_factor(self, userid, user_items, recalculate_user=False):
         if recalculate_user:
             return self.recalculate_user(userid, user_items)
+        if self._serving_mesh() is not None:
+            # mesh serving replicates query chunks itself; gather on host
+            f = self._user_factors
+            return f[userid : userid + 1] if np.isscalar(userid) else f[np.asarray(userid)]
         # gather stored factors on-device: no host round-trip for the queries
         dev = self._user_factors_on_device()
         return dev[userid : userid + 1] if np.isscalar(userid) else dev[np.asarray(userid)]
@@ -138,6 +197,9 @@ class MatrixFactorizationBase(RecommenderBase):
     def _item_factor(self, itemid, item_users, recalculate_item=False):
         if recalculate_item:
             return self.recalculate_item(itemid, item_users)
+        if self._serving_mesh() is not None:
+            f = self._item_factors
+            return f[itemid : itemid + 1] if np.isscalar(itemid) else f[np.asarray(itemid)]
         dev = self._item_factors_on_device()
         return dev[itemid : itemid + 1] if np.isscalar(itemid) else dev[np.asarray(itemid)]
 
@@ -162,6 +224,8 @@ class MatrixFactorizationBase(RecommenderBase):
 
         user = self._user_factor(userid, user_items, recalculate_user)
 
+        mesh = self._serving_mesh()
+        topk_kwargs = {}
         if items is not None:
             if filter_items:
                 raise ValueError("Can't set both items and filter_items in recommend call")
@@ -169,6 +233,13 @@ class MatrixFactorizationBase(RecommenderBase):
             items = _validate_subset(items, self.item_factors.shape[0], "itemids")
             items.sort()
             item_factors = self.item_factors[items]
+            if mesh is not None:
+                # one-off subset: topk pads+shards it per call
+                topk_kwargs = dict(mesh=mesh)
+        elif mesh is not None:
+            # multi-chip serving: cached item-sharded table, ICI merge
+            item_factors, _, count = self._factors_on_mesh("item", mesh)
+            topk_kwargs = dict(mesh=mesh, n_items=count)
         else:
             # the full-catalog path serves from the cached device copy
             item_factors = self._item_factors_on_device()
@@ -186,6 +257,7 @@ class MatrixFactorizationBase(RecommenderBase):
             filter_query_items=filter_query_items,
             filter_items=filter_items,
             num_threads=self.num_threads,
+            **topk_kwargs,
         )
 
         if np.isscalar(userid):
@@ -236,16 +308,25 @@ class MatrixFactorizationBase(RecommenderBase):
 
     # -- similarity lookups ------------------------------------------------------
 
-    def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset):
+    def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset,
+                 which=None):
         """Shared core of similar_users / similar_items.
 
         Scores ``query_factor`` against ``factors`` normalized by ``norms``
         (cosine against the candidates), optionally restricted to ``subset``,
-        then divides by the query's own norm.
+        then divides by the query's own norm. With a serving mesh and no
+        subset, ``which`` selects the cached mesh-sharded factor table.
         """
+        mesh = self._serving_mesh()
+        topk_kwargs = {}
         if subset is not None:
             factors = factors[subset]
             norms = norms[subset]
+            if mesh is not None:
+                topk_kwargs = dict(mesh=mesh)
+        elif mesh is not None and which is not None:
+            factors, norms, count = self._factors_on_mesh(which, mesh)
+            topk_kwargs = dict(mesh=mesh, n_items=count)
 
         ids, scores = topk(
             factors,
@@ -254,6 +335,7 @@ class MatrixFactorizationBase(RecommenderBase):
             item_norms=norms,
             filter_items=filter_ids,
             num_threads=self.num_threads,
+            **topk_kwargs,
         )
 
         if np.isscalar(query_norm):
@@ -277,11 +359,14 @@ class MatrixFactorizationBase(RecommenderBase):
                 raise ValueError("Can't set both users and filter_users in similar_users call")
             users = _validate_subset(users, self.user_factors.shape[0], "userids")
             factors = self.user_factors
+        elif self._serving_mesh() is not None:
+            factors = self.user_factors  # _similar swaps in the mesh table
         else:
             factors = self._user_factors_on_device()
 
         return self._similar(
-            self.user_factors[userid], norms[userid], factors, norms, N, filter_users, users
+            self.user_factors[userid], norms[userid], factors, norms, N, filter_users,
+            users, which="user"
         )
 
     similar_users.__doc__ = RecommenderBase.similar_users.__doc__
@@ -308,10 +393,13 @@ class MatrixFactorizationBase(RecommenderBase):
                 raise ValueError("Can't set both items and filter_items in similar_items call")
             items = _validate_subset(items, self.item_factors.shape[0], "itemids")
             factors = self.item_factors
+        elif self._serving_mesh() is not None:
+            factors = self.item_factors  # _similar swaps in the mesh table
         else:
             factors = self._item_factors_on_device()
 
-        return self._similar(factor, norm, factors, norms, N, filter_items, items)
+        return self._similar(factor, norm, factors, norms, N, filter_items, items,
+                             which="item")
 
     similar_items.__doc__ = RecommenderBase.similar_items.__doc__
 

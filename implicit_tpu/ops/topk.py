@@ -65,6 +65,98 @@ def _pad_dim(n):
     return -(-n // 1024) * 1024
 
 
+@functools.cache
+def _topk_core_sharded(mesh, axis_name="d"):
+    """Item-sharded topk core over ``mesh`` — the multi-chip serving path.
+
+    Each chip scores queries against its item shard, applies the filter
+    sentinels locally (global ids are translated to shard coordinates, with
+    out-of-shard ids routed to a dropped out-of-bounds slot), selects its
+    local top-k, and the candidates ride ICI once (n_chips * k per query)
+    for a final merge — the distributed replacement for the device-wide
+    select of the reference GPU engine (knn.cu:244-250). Tie behavior is
+    bit-identical to the single-device core: per-item dot products are
+    computed with the same contraction (F is unsharded), and the merged
+    top_k prefers earlier gather positions, i.e. lower global ids.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "n_items", "use_norms", "use_qf", "use_if"))
+    def run(items, queries, norms, qf_rows, qf_cols, filter_items, k, n_items,
+            use_norms, use_qf, use_if):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(None, None), P(axis_name), P(None),
+                      P(None), P(None)),
+            out_specs=(P(None, None), P(None, None)),
+            # outputs are value-identical on every chip after the all-gather
+            # merge, but the varying-axes checker can't prove it
+            check_vma=False,
+        )
+        def shard_fn(items_l, queries_r, norms_l, qf_rows_r, qf_cols_r, fi_r):
+            n_local = items_l.shape[0]
+            offset = jax.lax.axis_index(axis_name) * n_local
+            scores = jnp.dot(queries_r, items_l.T,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            if use_norms:
+                scores = scores / norms_l[None, :]
+            # rows past the true item count are shard-padding: mask them out
+            gids = offset + jnp.arange(n_local, dtype=jnp.int32)
+            scores = jnp.where(gids[None, :] < n_items, scores, NEG_MAX)
+            if use_if:
+                li = jnp.where((fi_r >= offset) & (fi_r < offset + n_local),
+                               fi_r - offset, n_local)
+                scores = scores.at[:, li].set(NEG_MAX, mode="drop")
+            if use_qf:
+                lc = jnp.where((qf_cols_r >= offset) & (qf_cols_r < offset + n_local),
+                               qf_cols_r - offset, n_local)
+                scores = scores.at[qf_rows_r, lc].set(NEG_MAX, mode="drop")
+            k_local = min(k, n_local)
+            vals, idx = jax.lax.top_k(scores, k_local)
+            idx = idx + offset
+            vals_g = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)
+            idx_g = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
+            merged_vals, pos = jax.lax.top_k(vals_g, k)
+            return merged_vals, jnp.take_along_axis(idx_g, pos, axis=1)
+
+        return shard_fn(items, queries, norms, qf_rows, qf_cols, filter_items)
+
+    return run
+
+
+def shard_items_for_topk(items, item_norms, mesh, axis_name="d"):
+    """Pads and device-puts an item-factor table row-sharded over ``mesh``.
+
+    Returns ``(items_dev, norms_dev, n_items)`` ready to pass to
+    :func:`topk` with ``mesh=``/``n_items=``. Rows are padded to a multiple
+    of the mesh size (padding is masked inside the sharded core); norms pad
+    with 1. Callers serving repeatedly should cache the result — this is
+    one host->device upload of the whole table.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    items = np.asarray(items, dtype=np.float32)
+    n_items = items.shape[0]
+    n_sh = mesh.shape[axis_name]
+    padded_n = -(-max(n_items, 1) // n_sh) * n_sh
+    if padded_n != n_items:
+        items = np.pad(items, ((0, padded_n - n_items), (0, 0)))
+    items_dev = jax.device_put(items, NamedSharding(mesh, P(axis_name, None)))
+    if item_norms is not None:
+        norms = np.ones(padded_n, dtype=np.float32)
+        norms[:n_items] = np.asarray(item_norms, dtype=np.float32)
+        norms_dev = jax.device_put(norms, NamedSharding(mesh, P(axis_name)))
+    else:
+        # unused by the core when use_norms=False; one element per shard
+        norms_dev = jax.device_put(np.ones(n_sh, dtype=np.float32),
+                                   NamedSharding(mesh, P(axis_name)))
+    return items_dev, norms_dev, n_items
+
+
 @functools.partial(jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
 def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_norms, use_qf, use_if):
     scores = jnp.dot(
@@ -82,18 +174,26 @@ def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_nor
 
 
 def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items=None,
-         num_threads=0):
+         num_threads=0, mesh=None, n_items=None):
     """Return the top ``k`` scoring item (ids, distances) for each query row.
 
     Parameters
     ----------
-    items : (N, F) array or jax.Array — item factors
+    items : (N, F) array or jax.Array — item factors. With ``mesh=`` this may
+        be a pre-sharded padded table from :func:`shard_items_for_topk`
+        (then ``n_items`` must give the true row count).
     query : (Q, F) or (F,) array — query factors
     k : int
-    item_norms : (N,) array, optional — scores are divided by these
+    item_norms : (N,) array, optional — scores are divided by these. With a
+        pre-sharded ``items`` this must be the padded norms array returned
+        by :func:`shard_items_for_topk` (or None).
     filter_query_items : csr_matrix, optional — per-query items to exclude
     filter_items : array_like, optional — items to exclude for all queries
     num_threads : ignored (API parity; parallelism is the device's job)
+    mesh : jax.sharding.Mesh, optional — serve item-sharded across the mesh:
+        each chip scores its shard, candidates merge over ICI. Results are
+        bit-identical to the single-device path.
+    n_items : int, optional — true item count when ``items`` is pre-padded
 
     Returns
     -------
@@ -105,7 +205,32 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
         query = query.reshape(1, -1)
 
     q_rows = query.shape[0]
-    n_items = items.shape[0]
+    use_mesh = mesh is not None
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if isinstance(items, jax.Array) and n_items is not None:
+            # pre-sharded by shard_items_for_topk (caller caches the upload)
+            items_dev = items
+            count = int(n_items)
+            if item_norms is None:
+                norms_dev = jax.device_put(
+                    np.ones(mesh.shape["d"], dtype=np.float32),
+                    NamedSharding(mesh, P("d")))
+            elif isinstance(item_norms, jax.Array):
+                norms_dev = item_norms
+            else:
+                padded_n = items.shape[0]
+                nn = np.ones(padded_n, dtype=np.float32)
+                nn[:count] = np.asarray(item_norms, dtype=np.float32)
+                norms_dev = jax.device_put(nn, NamedSharding(mesh, P("d")))
+        else:
+            items_dev, norms_dev, count = shard_items_for_topk(
+                np.asarray(items), item_norms, mesh)
+        n_items = count
+        query_replicated = NamedSharding(mesh, P())
+    else:
+        n_items = items.shape[0]
     if k <= 0:
         return (np.empty((q_rows, 0), dtype=np.int32),
                 np.empty((q_rows, 0), dtype=np.float32))
@@ -115,12 +240,13 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
     ids_out = np.empty((q_rows, k_eff), dtype=np.int32)
     scores_out = np.empty((q_rows, k_eff), dtype=out_dtype)
 
-    items_dev = jnp.asarray(items, dtype=jnp.float32)
-    norms_dev = (
-        jnp.asarray(item_norms, dtype=jnp.float32)
-        if item_norms is not None
-        else jnp.zeros((1,), dtype=jnp.float32)
-    )
+    if not use_mesh:
+        items_dev = jnp.asarray(items, dtype=jnp.float32)
+        norms_dev = (
+            jnp.asarray(item_norms, dtype=jnp.float32)
+            if item_norms is not None
+            else jnp.zeros((1,), dtype=jnp.float32)
+        )
 
     if filter_items is not None and len(filter_items) > 0:
         fi = np.asarray(filter_items, dtype=np.int32)
@@ -156,7 +282,14 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
         rows_here = stop - start
         padded_rows = _pad_dim(rows_here)
 
-        if query_on_device:
+        if use_mesh:
+            # replicate the chunk's queries across the mesh explicitly: a
+            # committed single-device array can't mix with mesh-committed
+            # items inside one program
+            q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
+            q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
+            q_dev = jax.device_put(q_np, query_replicated)
+        elif query_on_device:
             # stay on device: pad with zeros without a host round-trip
             q_dev = jnp.zeros((padded_rows, query.shape[1]), dtype=jnp.float32)
             q_dev = q_dev.at[:rows_here].set(query[start:stop].astype(jnp.float32))
@@ -185,18 +318,24 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
             qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
             use_qf = False
 
-        vals, idx = _topk_core(
-            items_dev,
-            q_dev,
-            norms_dev,
-            qf_rows_dev,
-            qf_cols_dev,
-            fi_dev,
-            k_eff,
-            item_norms is not None,
-            use_qf,
-            use_if,
-        )
+        if use_mesh:
+            vals, idx = _topk_core_sharded(mesh)(
+                items_dev, q_dev, norms_dev, qf_rows_dev, qf_cols_dev, fi_dev,
+                k_eff, n_items, item_norms is not None, use_qf, use_if,
+            )
+        else:
+            vals, idx = _topk_core(
+                items_dev,
+                q_dev,
+                norms_dev,
+                qf_rows_dev,
+                qf_cols_dev,
+                fi_dev,
+                k_eff,
+                item_norms is not None,
+                use_qf,
+                use_if,
+            )
         pending.append((start, stop, rows_here, vals, idx))
         _drain(_MAX_IN_FLIGHT - 1)
         start = stop

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 from scipy.sparse import random as sparse_random
 
+from conftest import get_checkerboard
 from implicit_tpu.ops import als as als_ops
 from implicit_tpu.parallel import create_mesh, shard_buckets, sharded_topk
 from implicit_tpu.parallel.mesh import replicated
@@ -137,3 +138,72 @@ def test_sharded_topk_uneven_shards():
     scores = queries @ items.T
     oracle = np.sort(scores, axis=1)[:, ::-1][:, :5]
     np.testing.assert_allclose(np.asarray(vals), oracle, atol=1e-5)
+
+
+def test_mesh_recommend_matches_single_device():
+    """Public multi-chip serving: model.recommend / similar_* on a mesh
+    return the same results as single-device serving (ids identical;
+    scores to float tolerance — per-shard matmul blocking differs)."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(9)
+    likes = sparse_random(120, 90, density=0.08, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 6, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    single = AlternatingLeastSquares(factors=16, iterations=5, random_state=3)
+    single.fit(likes, show_progress=False)
+
+    meshed = AlternatingLeastSquares(factors=16, iterations=5, random_state=3,
+                                     mesh=8)
+    meshed.user_factors = single.user_factors.copy()
+    meshed.item_factors = single.item_factors.copy()
+
+    userids = np.arange(120)
+    i1, s1 = single.recommend(userids, likes, N=10)
+    i2, s2 = meshed.recommend(userids, likes, N=10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    # scalar query + filter_items
+    i1, s1 = single.recommend(3, likes[3], N=5, filter_items=[1, 2, 3])
+    i2, s2 = meshed.recommend(3, likes[3], N=5, filter_items=[1, 2, 3])
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    # items= subsetting (one-off shard path)
+    subset = np.arange(0, 90, 3)
+    i1, s1 = single.recommend(5, likes[5], N=8, items=subset)
+    i2, s2 = meshed.recommend(5, likes[5], N=8, items=subset)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    # similar_items / similar_users
+    i1, s1 = single.similar_items(np.arange(20), N=5)
+    i2, s2 = meshed.similar_items(np.arange(20), N=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    i1, s1 = single.similar_users(7, N=5)
+    i2, s2 = meshed.similar_users(7, N=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_mesh_recommend_over_ask_and_empty():
+    """Over-asking N pads with -1 sentinels identically on the mesh path."""
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    likes = get_checkerboard(40)
+    single = AlternatingLeastSquares(factors=8, iterations=4, random_state=1)
+    single.fit(likes, show_progress=False)
+    meshed = AlternatingLeastSquares(factors=8, iterations=4, random_state=1, mesh=8)
+    meshed.user_factors = single.user_factors.copy()
+    meshed.item_factors = single.item_factors.copy()
+
+    i1, s1 = single.recommend(0, likes[0], N=500, filter_already_liked_items=False)
+    i2, s2 = meshed.recommend(0, likes[0], N=500, filter_already_liked_items=False)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
