@@ -49,6 +49,22 @@ from .base import ANNWrapperBase
 log = logging.getLogger("implicit_tpu")
 
 
+def _inner_model_class(name):
+    """Resolves a saved inner-model class name back to its class."""
+    from ..models.als import AlternatingLeastSquares
+    from ..models.bpr import BayesianPersonalizedRanking
+    from ..models.lmf import LogisticMatrixFactorization
+
+    classes = {
+        cls.__name__: cls
+        for cls in (AlternatingLeastSquares, BayesianPersonalizedRanking,
+                    LogisticMatrixFactorization)
+    }
+    if name not in classes:
+        raise ValueError(f"unknown inner model class {name!r} in saved index")
+    return classes[name]
+
+
 def _trim_rows(ids, scores, row_filters, N):
     """Per-row filter + trim of over-fetched batch results.
 
@@ -169,6 +185,38 @@ class _IVFIndex:
         self.counts = jnp.asarray(counts.astype(np.int32))
         self.n = n
 
+    def to_arrays(self, prefix):
+        """Flattens the index into host arrays for npz persistence.
+
+        The index is fully self-describing — reordered points, the id
+        permutation, centroids and cluster extents — so unlike the
+        host-library ANN indexes (the reference wrappers raise
+        NotImplementedError on save, /root/reference/implicit/ann/annoy.py:229-240)
+        it round-trips losslessly.
+        """
+        return {
+            prefix + "points": np.asarray(self.points),
+            prefix + "ids": np.asarray(self.ids),
+            prefix + "centroids": np.asarray(self.centroids),
+            prefix + "starts": np.asarray(self.starts),
+            prefix + "counts": np.asarray(self.counts),
+            prefix + "n": self.n,
+            prefix + "cap": self.cap,
+        }
+
+    @classmethod
+    def from_arrays(cls, data, prefix):
+        """Rebuilds an index from :meth:`to_arrays` output (uploads once)."""
+        index = cls.__new__(cls)
+        index.points = jnp.asarray(data[prefix + "points"])
+        index.ids = jnp.asarray(data[prefix + "ids"])
+        index.centroids = jnp.asarray(data[prefix + "centroids"])
+        index.starts = jnp.asarray(data[prefix + "starts"])
+        index.counts = jnp.asarray(data[prefix + "counts"])
+        index.n = int(data[prefix + "n"])
+        index.cap = int(data[prefix + "cap"])
+        return index
+
     def search(self, query, count, n_probe):
         """Exact scores within the ``n_probe`` best clusters -> (ids, scores).
 
@@ -286,6 +334,67 @@ class TPUIVFModel(ANNWrapperBase):
         # (user, 0) query's dot with an augmented row is the raw inner product
         extra = augment_inner_product_matrix(factors)[1]
         self.recommend_index = _IVFIndex(extra, k, self.kmeans_iters, seed + 1)
+
+    def save(self, fileobj_or_path):
+        """Round-trips the wrapper AND its indexes to one ``.npz``.
+
+        Goes beyond reference parity: the host-library wrappers can't
+        serialize their index state (the reference raises
+        NotImplementedError, /root/reference/implicit/ann/annoy.py:229-240),
+        but the TPU-native IVF index is plain arrays. The inner model's own
+        npz fields are nested under a ``model__`` prefix.
+        """
+        if getattr(self, "similar_items_index", None) is None:
+            raise ValueError("cannot save an unfitted index — call fit first")
+        import io
+
+        buf = io.BytesIO()
+        self.model.save(buf)
+        buf.seek(0)
+        with np.load(buf, allow_pickle=False) as inner:
+            args = {"model__" + k: v for k, v in inner.items()}
+        args.update(self.similar_items_index.to_arrays("sim__"))
+        args.update(self.recommend_index.to_arrays("rec__"))
+        args["model_class"] = type(self.model).__name__
+        args["approximate_similar_items"] = self.approximate_similar_items
+        args["approximate_recommend"] = self.approximate_recommend
+        args["kmeans_iters"] = self.kmeans_iters
+        args["probe"] = self._probe
+        for key in ("n_clusters", "n_probe", "random_state"):
+            value = getattr(self, key)
+            if value is not None:
+                args[key] = value
+        np.savez(fileobj_or_path, **args)
+
+    @classmethod
+    def load(cls, fileobj_or_path):
+        if isinstance(fileobj_or_path, str) and not fileobj_or_path.endswith(".npz"):
+            fileobj_or_path = fileobj_or_path + ".npz"
+        with np.load(fileobj_or_path, allow_pickle=False) as data:
+            inner = _inner_model_class(str(data["model_class"]))()
+            for key, value in data.items():
+                if not key.startswith("model__"):
+                    continue
+                name = key[len("model__"):]
+                if name == "dtype":
+                    value = np.dtype(str(value))
+                elif value.shape == ():
+                    value = value.item()
+                setattr(inner, name, value)
+
+            ret = cls(
+                inner,
+                approximate_similar_items=bool(data["approximate_similar_items"]),
+                approximate_recommend=bool(data["approximate_recommend"]),
+                n_clusters=int(data["n_clusters"]) if "n_clusters" in data else None,
+                n_probe=int(data["n_probe"]) if "n_probe" in data else None,
+                kmeans_iters=int(data["kmeans_iters"]),
+                random_state=int(data["random_state"]) if "random_state" in data else None,
+            )
+            ret._probe = int(data["probe"])
+            ret.similar_items_index = _IVFIndex.from_arrays(data, "sim__")
+            ret.recommend_index = _IVFIndex.from_arrays(data, "rec__")
+        return ret
 
     def _query_similar(self, factor, count):
         q = factor / max(float(np.linalg.norm(factor)), 1e-12)

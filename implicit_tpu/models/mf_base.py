@@ -403,5 +403,22 @@ class MatrixFactorizationBase(RecommenderBase):
 
     similar_items.__doc__ = RecommenderBase.similar_items.__doc__
 
+    # -- device conversion shims ---------------------------------------------
+
+    def to_gpu(self):
+        """Drop-in parity shim for the reference's CPU->GPU conversion
+        (/root/reference/implicit/cpu/als.py:439, cpu/bpr.pyx:209). This
+        build has a single device-native implementation — there is no
+        CPU/GPU model split to convert between — so conversion is the
+        identity."""
+        return self
+
+    def to_cpu(self):
+        """Drop-in parity shim for the reference's GPU->CPU conversion
+        (/root/reference/implicit/gpu/als.py:300, gpu/bpr.py:165). Factors
+        already live as host numpy arrays here; the identity preserves the
+        reference's ``model = model.to_cpu()`` idiom."""
+        return self
+
     def _check_fit_errors(self):
         self._check_factors(self.user_factors, self.item_factors)

@@ -151,3 +151,52 @@ def test_batched_serving_matches_scalar():
     for r, it in enumerate(itemids):
         sim_s, _ = model.similar_items(int(it), N=4, filter_items=[0])
         np.testing.assert_array_equal(sim_b[r][: len(sim_s)], sim_s)
+
+
+def test_ivf_model_npz_roundtrip(tmp_path):
+    """The TPU-native IVF wrapper round-trips to npz — beyond reference
+    parity (the host-library wrappers raise NotImplementedError on save,
+    /root/reference/implicit/ann/annoy.py:229-240): the index is plain
+    arrays (centroids, reorder permutation, cluster extents)."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.ann.ivf import TPUIVFModel
+    from scipy.sparse import random as sparse_random
+
+    rng = np.random.default_rng(2)
+    likes = sparse_random(150, 80, density=0.1, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 5, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    model = TPUIVFModel(AlternatingLeastSquares(factors=16, iterations=4,
+                                                random_state=7),
+                        n_clusters=8, n_probe=8, random_state=3)
+    model.fit(likes, show_progress=False)
+
+    path = str(tmp_path / "ivf_index")
+    model.save(path)
+    loaded = TPUIVFModel.load(path)
+
+    # identical serving from the restored index
+    for uid in (0, 3, 17):
+        i1, s1 = model.recommend(uid, likes[uid], N=5)
+        i2, s2 = loaded.recommend(uid, likes[uid], N=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+    i1, s1 = model.similar_items(4, N=5)
+    i2, s2 = loaded.similar_items(4, N=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    # inner model restored with its factors and hyperparameters
+    np.testing.assert_array_equal(loaded.model.user_factors, model.model.user_factors)
+    assert loaded.model.factors == 16
+    assert loaded._probe == model._probe
+
+
+def test_ivf_model_save_before_fit_raises(tmp_path):
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.ann.ivf import TPUIVFModel
+
+    model = TPUIVFModel(AlternatingLeastSquares(factors=8))
+    with pytest.raises(ValueError, match="unfitted"):
+        model.save(str(tmp_path / "x"))

@@ -62,3 +62,19 @@ def test_large_recommend():
     assert ids.shape == (100,)
     valid = ids[ids >= 0]
     assert len(np.unique(valid)) == len(valid)
+
+
+def test_to_gpu_to_cpu_shims():
+    """Reference conversion idioms must work unchanged
+    (/root/reference/implicit/cpu/als.py:439, gpu/als.py:300): a single
+    device-native implementation makes them the identity."""
+    model = AlternatingLeastSquares(factors=8, iterations=2, random_state=0)
+    likes = coo_matrix((np.ones(10), (np.arange(10), np.arange(10)))).tocsr()
+    model.fit(likes, show_progress=False)
+
+    gpu = model.to_gpu()
+    assert gpu is model
+    back = gpu.to_cpu()
+    assert back is model
+    ids, _ = back.recommend(0, likes[0], N=3, filter_already_liked_items=False)
+    assert ids[0] == 0
