@@ -146,6 +146,27 @@ def _row_update(X, dss, Y, neg_src, span, crows, cidx, cdat, clen, ckey,
     return x, d
 
 
+# epochs between window-pool permutation refreshes: a fixed arrangement
+# over a long fit would make every epoch draw windows of the same
+# permutation (a potential fixed-permutation artifact); re-permuting on
+# device every few epochs costs one O(nnz) sort, no host upload
+_POOL_RESHUFFLE_EPOCHS = 4
+
+
+@functools.partial(jax.jit, static_argnames=("pmax",))
+def _reshuffle_arrangement(key, core, pmax):
+    """Fresh device-side permutation of the popularity multiset, wrap-padded
+    by the largest pool width (the same layout `_arrangement` builds)."""
+    p = jax.random.permutation(key, core)
+    segments = [p]
+    pad = pmax
+    while pad > 0:
+        take = min(pad, core.shape[0])
+        segments.append(p[:take])
+        pad -= take
+    return jnp.concatenate(segments) if len(segments) > 1 else p
+
+
 @functools.partial(jax.jit, static_argnames=("split",), donate_argnums=())
 def _build_pool(Y, arrangement, split):
     """The other side's factors gathered through the popularity shuffle.
@@ -399,11 +420,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         window_u = _pool_bytes(span, pmax_u, width) <= _POOL_BYTE_BUDGET
         window_i = _pool_bytes(span, pmax_i, width) <= _POOL_BYTE_BUDGET
 
-        def _arrangement(cols, pmax, window):
-            if not window:  # legacy path samples the raw column array
-                return cols.astype(np.int32)
-            arr = cols.astype(np.int32)  # astype always returns a fresh copy
-            rs.shuffle(arr)
+        def _wrap_pad(arr, pmax):
             reps = [arr]
             pad = pmax
             while pad > 0:  # wrap-pad (loops only for pools wider than nnz)
@@ -411,14 +428,28 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                 pad -= len(reps[-1])
             return np.concatenate(reps) if len(reps) > 1 else arr
 
-        arr_u = _arrangement(user_items.indices, pmax_u, window_u)
-        arr_i = _arrangement(item_users.indices, pmax_i, window_i)
+        def _arrangement(cols, pmax, window):
+            if not window:  # legacy path samples the raw column array
+                return cols.astype(np.int32)
+            arr = cols.astype(np.int32)  # astype always returns a fresh copy
+            rs.shuffle(arr)
+            return _wrap_pad(arr, pmax)
+
+        core_u = core_i = None
+        arr_u_host = _arrangement(user_items.indices, pmax_u, window_u)
+        arr_i_host = _arrangement(item_users.indices, pmax_i, window_i)
         if self.mesh is not None:
-            arr_u = replicated(mesh, arr_u)
-            arr_i = replicated(mesh, arr_i)
+            # host copies of the unpadded cores for the periodic re-shuffle
+            if window_u:
+                core_u = arr_u_host[:span].copy()
+            if window_i:
+                core_i = arr_i_host[:span].copy()
+            arr_u = replicated(mesh, arr_u_host)
+            arr_i = replicated(mesh, arr_i_host)
         else:
-            arr_u = jnp.asarray(arr_u)
-            arr_i = jnp.asarray(arr_i)
+            arr_u = jnp.asarray(arr_u_host)
+            arr_i = jnp.asarray(arr_i_host)
+        del arr_u_host, arr_i_host
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
         lr = jnp.float32(self.learning_rate)
@@ -442,6 +473,24 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
             for epoch in range(self.iterations):
                 s = time.time()
+                # periodic pool re-shuffle: avoid a fixed-permutation
+                # artifact over long fits (windows otherwise draw from the
+                # same arrangement every epoch)
+                if (window_u or window_i) and epoch and \
+                        epoch % _POOL_RESHUFFLE_EPOCHS == 0:
+                    if self.mesh is not None:
+                        if window_u:
+                            rs.shuffle(core_u)
+                            arr_u = replicated(mesh, _wrap_pad(core_u, pmax_u))
+                        if window_i:
+                            rs.shuffle(core_i)
+                            arr_i = replicated(mesh, _wrap_pad(core_i, pmax_i))
+                    else:
+                        key, key_u, key_i = jax.random.split(key, 3)
+                        if window_u:
+                            arr_u = _reshuffle_arrangement(key_u, arr_u[:span], pmax_u)
+                        if window_i:
+                            arr_i = _reshuffle_arrangement(key_i, arr_i[:span], pmax_i)
                 # pools snapshot the fixed side's factors once per half-epoch
                 pool_u = _build_pool(Y, arr_u, split) if window_u else arr_u
                 for cls in user_buckets.classes:

@@ -3,6 +3,7 @@
 import numpy as np
 from scipy.sparse import csr_matrix
 
+from conftest import get_checkerboard
 from implicit_tpu.lmf import LogisticMatrixFactorization
 
 
@@ -155,3 +156,31 @@ def test_split_pool_scores_are_full_dot_products():
     )
     full = x @ np.asarray(Y)[np.asarray(arr)[off:off + P]].T
     np.testing.assert_allclose(split, full, rtol=2e-2, atol=1e-2)  # bf16 pool
+
+
+def test_reshuffle_arrangement_preserves_multiset():
+    """The periodic pool re-shuffle permutes the popularity multiset and
+    wrap-pads exactly like the per-fit arrangement."""
+    import jax
+
+    from implicit_tpu.models.lmf import _reshuffle_arrangement
+
+    core = np.repeat(np.arange(50, dtype=np.int32), np.arange(1, 51))
+    out = np.asarray(_reshuffle_arrangement(jax.random.PRNGKey(0), core, 70))
+    assert out.shape == (len(core) + 70,)
+    # body is a permutation of the multiset
+    np.testing.assert_array_equal(np.sort(out[: len(core)]), np.sort(core))
+    # pad wraps the permuted body
+    np.testing.assert_array_equal(out[len(core):], out[:70])
+    # and it actually permutes
+    out2 = np.asarray(_reshuffle_arrangement(jax.random.PRNGKey(1), core, 70))
+    assert not np.array_equal(out, out2)
+
+
+def test_lmf_long_fit_with_reshuffle_converges():
+    """A fit spanning several re-shuffle boundaries stays healthy."""
+    likes = get_checkerboard(40)
+    model = LogisticMatrixFactorization(factors=8, iterations=12, random_state=3)
+    model.fit(likes * 3, show_progress=False)
+    ids, scores = model.recommend(2, likes[2], N=1)
+    assert ids[0] == 2
