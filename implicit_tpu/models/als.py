@@ -21,7 +21,7 @@ import scipy.sparse
 from tqdm.auto import tqdm
 
 from ..ops import als as als_ops
-from ..sparse import BucketedCSR
+from ..sparse import BucketedCSR, pack_pair_on_device
 from ..utils import ParameterWarning, check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
@@ -195,10 +195,12 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
         else:
-            user_buckets = BucketedCSR(Cui, target_entries=target, max_chunk_rows=65536,
-                                       data_dtype=solve_dtype, grid=grid).to_device()
-            item_buckets = BucketedCSR(Ciu, target_entries=target, max_chunk_rows=65536,
-                                       data_dtype=solve_dtype, grid=grid).to_device()
+            # one COO upload + on-device packing: the padded class tensors
+            # never cross the transport (2-4x fewer upload bytes; the item
+            # side's flat arrays are derived on device)
+            user_buckets, item_buckets = pack_pair_on_device(
+                Cui, Ciu, target_entries=target, max_chunk_rows=65536,
+                grid=grid, data_dtype=solve_dtype)
             X = jnp.asarray(self.user_factors, dtype=solve_dtype)
             Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
         log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm.auto import tqdm
 
-from ..sparse import BucketedCSR
+from ..sparse import BucketedCSR, pack_pair_on_device
 from ..utils import check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
@@ -395,8 +395,9 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
             X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
             Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
         else:
-            user_buckets = BucketedCSR(user_items, target_entries=target, grid="pow2").to_device()
-            item_buckets = BucketedCSR(item_users, target_entries=target, grid="pow2").to_device()
+            # one COO upload + on-device packing (see sparse.pack_pair_on_device)
+            user_buckets, item_buckets = pack_pair_on_device(
+                user_items, item_users, target_entries=target, grid="pow2")
             X = jnp.asarray(self.user_factors, dtype=jnp.float32)
             Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
         dssX = jnp.zeros_like(X)

@@ -58,7 +58,7 @@ class BucketedCSR:
     """
 
     def __init__(self, csr, target_entries=1 << 23, max_chunk_rows=32768, min_L=8,
-                 data_dtype=np.float32, grid="fine"):
+                 data_dtype=np.float32, grid="fine", metadata_only=False):
         n_rows = csr.shape[0]
         self.data_dtype = np.dtype(data_dtype)
         self.shape = csr.shape
@@ -123,13 +123,15 @@ class BucketedCSR:
                 rem_C = max(8, -(-remainder // 8) * 8)
                 pieces.append((full_chunks * C, count, 1, rem_C))
 
-            # ragged -> padded copy (native C++ packer, numpy fallback inside)
-            from . import native
+            if not metadata_only:
+                # ragged -> padded copy (native C++ packer, numpy fallback
+                # inside)
+                from . import native
 
-            packed_idx, packed_dat = native.pack_ragged(
-                indptr, csr_indices, csr_data, sel.astype(np.int32), L,
-                dtype=self.data_dtype,
-            )
+                packed_idx, packed_dat = native.pack_ragged(
+                    indptr, csr_indices, csr_data, sel.astype(np.int32), L,
+                    dtype=self.data_dtype,
+                )
 
             for start, stop, n_chunks, piece_C in pieces:
                 piece_count = stop - start
@@ -138,7 +140,12 @@ class BucketedCSR:
                 rows[:piece_count] = sel[start:stop]
                 lengths = np.zeros(padded_rows, dtype=np.int32)
                 lengths[:piece_count] = lens[start:stop]
-                if padded_rows > piece_count:
+                if metadata_only:
+                    # plan-only: rows/lengths describe the packing; the
+                    # padded entry tensors are built on device from one COO
+                    # upload (pack_pair_on_device)
+                    idx = dat = None
+                elif padded_rows > piece_count:
                     idx = np.zeros((padded_rows, L), dtype=np.int32)
                     dat = np.zeros((padded_rows, L), dtype=self.data_dtype)
                     idx[:piece_count] = packed_idx[start:stop]
@@ -152,8 +159,8 @@ class BucketedCSR:
                         L,
                         piece_C,
                         rows.reshape(n_chunks, piece_C),
-                        idx.reshape(n_chunks, piece_C, L),
-                        dat.reshape(n_chunks, piece_C, L),
+                        None if idx is None else idx.reshape(n_chunks, piece_C, L),
+                        None if dat is None else dat.reshape(n_chunks, piece_C, L),
                         lengths.reshape(n_chunks, piece_C),
                     )
                 )
@@ -203,6 +210,136 @@ class DeviceBucketClass:
         self.indices = jnp.asarray(cls.indices)
         self.data = jnp.asarray(cls.data)
         self.lengths = jnp.asarray(cls.lengths)
+
+
+_pack_all_jit = None
+_transpose_jit = None
+
+
+def _get_pack_all():
+    """Lazily-built jitted program that packs every class of one side."""
+    global _pack_all_jit
+    if _pack_all_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("Ls",))
+        def _pack_all(flat_idx, flat_dat, indptr, rows_t, lens_t, Ls):
+            out = []
+            for rows, lens, L in zip(rows_t, lens_t, Ls):
+                n_chunks, C = rows.shape
+                r = rows.reshape(-1)
+                # sentinel rows (r == n_rows) hit indptr's last entry and
+                # mask out through lens == 0
+                starts = indptr[jnp.minimum(r, indptr.shape[0] - 1)]
+                pos = starts[:, None] + jnp.arange(L, dtype=starts.dtype)[None, :]
+                valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lens.reshape(-1, 1)
+                pos = jnp.where(valid, pos, 0)
+                idx = jnp.where(valid, flat_idx[pos], 0)
+                dat = jnp.where(valid, flat_dat[pos],
+                                jnp.zeros((), flat_dat.dtype))
+                out.append((idx.reshape(n_chunks, C, L),
+                            dat.reshape(n_chunks, C, L)))
+            return tuple(out)
+
+        _pack_all_jit = _pack_all
+    return _pack_all_jit
+
+
+def _get_transpose_flats():
+    """Lazily-built jitted derivation of the transposed side's flat arrays."""
+    global _transpose_jit
+    if _transpose_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _transpose(cols, data, indptr_u):
+            nnz = cols.shape[0]
+            # COO row ids via cumsum over row-start markers (empty rows
+            # stack markers at the same position; trailing empties scatter
+            # out of bounds and drop)
+            marks = jnp.zeros(nnz, jnp.int32).at[indptr_u[1:-1]].add(
+                1, mode="drop")
+            rows = jnp.cumsum(marks)
+            # stable sort by column: within a column the row-major input
+            # keeps rows ascending — exactly the CSR layout of the transpose
+            order = jnp.argsort(cols, stable=True)
+            return rows[order].astype(jnp.int32), data[order]
+
+        _transpose_jit = _transpose
+    return _transpose_jit
+
+
+def _pack_side(plan, flat_indices, flat_data, indptr_dev):
+    """DeviceBuckets for one side from device-resident flat CSR arrays."""
+    import jax.numpy as jnp
+
+    rows_t = tuple(jnp.asarray(c.rows) for c in plan.classes)
+    lens_t = tuple(jnp.asarray(c.lengths) for c in plan.classes)
+    Ls = tuple(c.L for c in plan.classes)
+    packed = _get_pack_all()(flat_indices, flat_data, indptr_dev,
+                             rows_t, lens_t, Ls)
+
+    buckets = DeviceBuckets.__new__(DeviceBuckets)
+    buckets.shape = plan.shape
+    buckets.n_rows = plan.n_rows
+    buckets.nnz = plan.nnz
+    buckets.sentinel = plan.sentinel
+    buckets.empty_rows = (
+        jnp.asarray(plan.empty_rows) if len(plan.empty_rows) else None
+    )
+    buckets.classes = []
+    for cls, rows_dev, lens_dev, (idx, dat) in zip(plan.classes, rows_t,
+                                                   lens_t, packed):
+        dev_cls = DeviceBucketClass.__new__(DeviceBucketClass)
+        dev_cls.L, dev_cls.C, dev_cls.n_chunks = cls.L, cls.C, cls.n_chunks
+        dev_cls.rows, dev_cls.lengths = rows_dev, lens_dev
+        dev_cls.indices, dev_cls.data = idx, dat
+        buckets.classes.append(dev_cls)
+    return buckets
+
+
+def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
+                        grid="fine", data_dtype=np.float32):
+    """Both training sides from ONE raw-array upload + on-device packing.
+
+    The padded (n_chunks, C, L) class tensors carry up to ~30% padding and
+    were previously host-packed and uploaded per side (~2 * padded_entries
+    * 8 bytes through the transport — the dominant wall-time cost of
+    large-scale fits behind a slow link). Instead this uploads only the
+    user side's raw ``indices``/``data`` (+ two indptr vectors), derives
+    the item side's flat arrays on device (COO row ids by cumsum, a stable
+    argsort by column — the same trick as the device KNN fit,
+    nearest_neighbours.py), and builds every padded class tensor with
+    gathers inside one jitted program per side. Output is numerically
+    identical to ``BucketedCSR(...).to_device()`` for both sides.
+
+    ``Ciu`` must be ``Cui.T.tocsr()`` (callers already have it — only its
+    host metadata is read; its arrays are NOT uploaded).
+    """
+    import jax.numpy as jnp
+
+    plan_u = BucketedCSR(Cui, target_entries=target_entries,
+                         max_chunk_rows=max_chunk_rows, grid=grid,
+                         data_dtype=data_dtype, metadata_only=True)
+    plan_i = BucketedCSR(Ciu, target_entries=target_entries,
+                         max_chunk_rows=max_chunk_rows, grid=grid,
+                         data_dtype=data_dtype, metadata_only=True)
+    if Cui.nnz == 0:
+        return plan_u.to_device(), plan_i.to_device()
+
+    cols = jnp.asarray(np.asarray(Cui.indices, dtype=np.int32))
+    data = jnp.asarray(np.asarray(Cui.data, dtype=data_dtype))
+    indptr_u = jnp.asarray(np.asarray(Cui.indptr, dtype=np.int32))
+    indptr_i = jnp.asarray(np.asarray(Ciu.indptr, dtype=np.int32))
+
+    item_cols, item_data = _get_transpose_flats()(cols, data, indptr_u)
+    user_buckets = _pack_side(plan_u, cols, data, indptr_u)
+    item_buckets = _pack_side(plan_i, item_cols, item_data, indptr_i)
+    return user_buckets, item_buckets
 
 
 def csr_to_coo_arrays(csr):
