@@ -73,14 +73,23 @@ def _verify_skip(indptr, itemids, table, u, cols, verify_neg, bisect_iters, mh):
     return _segment_member(indptr, itemids, u, cols, bisect_iters)
 
 
+# sort each minibatch's samples by user id before the X gather/scatter and
+# (when 2) additionally sort the item scatters by item id: coalesced ids can
+# lower TPU gather/scatter issue cost (adjacent rows share DMA descriptors).
+# 0 = off, 1 = sort by user, 2 = sort by user + per-scatter item sorts.
+# Default chosen by measurement on the real TPU (see STATUS.md).
+BPR_SORT_SAMPLES = 0
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "batch", "verify_neg", "bisect_iters", "mh"),
+    static_argnames=("steps", "batch", "verify_neg", "bisect_iters", "mh",
+                     "sort_samples"),
     donate_argnums=(0, 1, 2),
 )
 def _bpr_epoch(
     X, Y, yb, userids, itemids, indptr, table, key, lr, reg,
-    steps, batch, verify_neg, bisect_iters, mh,
+    steps, batch, verify_neg, bisect_iters, mh, sort_samples=0,
 ):
     """One BPR training epoch: steps x batch sampled pairwise SGD updates.
 
@@ -102,11 +111,17 @@ def _bpr_epoch(
         u = userids[liked_idx]
         liked = itemids[liked_idx]
         disliked = itemids[disliked_idx]
+        if sort_samples:
+            order = jnp.argsort(u)
+            u = u[order]
+            liked = liked[order]
+            disliked = disliked[order]
 
         skip = _verify_skip(indptr, itemids, table, u, disliked,
                             verify_neg, bisect_iters, mh)
 
-        xu = X[u]
+        u_sorted = bool(sort_samples)
+        xu = X[u] if not u_sorted else X.at[u].get(indices_are_sorted=True)
         yl = Y[liked]
         yd = Y[disliked]
         bl = yb[liked]
@@ -125,11 +140,26 @@ def _bpr_epoch(
         dyl = z[:, None] * xu - reg * yl
         dyd = -z[:, None] * xu - reg * yd
 
-        X = X.at[u].add(scale[:, None] * dx)
-        Y = Y.at[liked].add(scale[:, None] * dyl)
-        Y = Y.at[disliked].add(scale[:, None] * dyd)
-        yb = yb.at[liked].add(scale * (z - reg * bl))
-        yb = yb.at[disliked].add(scale * (-z - reg * bd))
+        X = X.at[u].add(scale[:, None] * dx, indices_are_sorted=u_sorted)
+        if sort_samples == 2:
+            # per-scatter item-id sorts: the permutation fuses into the
+            # scatter's operand gather
+            ol = jnp.argsort(liked)
+            od = jnp.argsort(disliked)
+            liked_s, disliked_s = liked[ol], disliked[od]
+            Y = Y.at[liked_s].add((scale[:, None] * dyl)[ol],
+                                  indices_are_sorted=True)
+            Y = Y.at[disliked_s].add((scale[:, None] * dyd)[od],
+                                     indices_are_sorted=True)
+            yb = yb.at[liked_s].add((scale * (z - reg * bl))[ol],
+                                    indices_are_sorted=True)
+            yb = yb.at[disliked_s].add((scale * (-z - reg * bd))[od],
+                                       indices_are_sorted=True)
+        else:
+            Y = Y.at[liked].add(scale[:, None] * dyl)
+            Y = Y.at[disliked].add(scale[:, None] * dyd)
+            yb = yb.at[liked].add(scale * (z - reg * bl))
+            yb = yb.at[disliked].add(scale * (-z - reg * bd))
         return (X, Y, yb, correct, skipped), None
 
     subkeys = jax.random.split(key, steps)
@@ -389,6 +419,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                         X, Y, yb, uids, iids, indptr, table_d, subkey,
                         jnp.float32(self.learning_rate), jnp.float32(self.regularization),
                         steps, batch, self.verify_negative_samples, bisect_iters, mh,
+                        sort_samples=BPR_SORT_SAMPLES,
                     )
                 correct = int(correct)
                 skipped = int(skipped)
