@@ -81,6 +81,30 @@ def bench_als(Cui, user_buckets, item_buckets, factors, compute_dtype, iters=5):
     return min(run() for _ in range(3))
 
 
+def bench_cold_fit(Cui, factors=64, iterations=5):
+    """End-to-end COLD first-fit wall time: public-API defaults (pow2 grid,
+    concurrent side compiles, single COO upload) against a fresh persistent
+    compile cache — the first-run experience number the round-2 verdict
+    flagged (929s recorded then for the first ALS leg)."""
+    import tempfile
+
+    import jax
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    old_cache = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      tempfile.mkdtemp(prefix="jax_cold_bench_"))
+    try:
+        t0 = time.time()
+        model = AlternatingLeastSquares(factors=factors, iterations=iterations,
+                                        dtype=np.float16, random_state=0)
+        model.fit(Cui, show_progress=False)
+        return time.time() - t0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_cache)
+
+
 def bench_sgd_epochs(model_cls, Cui, **kwargs):
     """Seconds per epoch via the fit callback; epoch 0 absorbs compiles."""
     times = []
@@ -185,12 +209,6 @@ def main():
     Ciu = Cui.T.tocsr()
     gen_s = time.time() - t0
 
-    t0 = time.time()
-    # match the model fit's chunk policy at the benchmarked factor counts
-    user_buckets = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
-    item_buckets = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536).to_device()
-    prep_s = time.time() - t0
-
     extras = {}
     stages = []
 
@@ -199,6 +217,17 @@ def main():
         out = fn()
         stages.append(f"{name}={time.time() - t0:.1f}s")
         return out
+
+    # cold first-fit wall time measured FIRST (nothing ALS-shaped compiled
+    # yet in this process, fresh persistent cache inside)
+    cold_s = stage("als_cold_fit", lambda: bench_cold_fit(Cui))
+    extras["als_cold_first_fit_wall_s_factors64"] = {"value": round(cold_s, 1)}
+
+    t0 = time.time()
+    # match the model fit's chunk policy at the benchmarked factor counts
+    user_buckets = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    item_buckets = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    prep_s = time.time() - t0
 
     # ALS across factor counts: bf16 tiles with f32 accumulation is the
     # TPU-native production mode (analogous to the reference GPU's fp16);
@@ -216,6 +245,20 @@ def main():
         "value": round(s_f32, 4),
         "vs_baseline": round(A6000_S_PER_ITER[128] / s_f32, 3),
     }
+
+    # the pow2 default grid's steady-state cost (the fine rows above are the
+    # opt-in grid="fine" mode) — documents the compile-time/padding trade
+    ub_p2 = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536,
+                        grid="pow2").to_device()
+    ib_p2 = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536,
+                        grid="pow2").to_device()
+    s_p2 = stage("als128_pow2", lambda: bench_als(
+        Cui, ub_p2, ib_p2, 128, "bfloat16"))
+    extras["als_f128_pow2grid_s_per_iter"] = {
+        "value": round(s_p2, 4),
+        "vs_baseline": round(A6000_S_PER_ITER[128] / s_p2, 3),
+    }
+    del ub_p2, ib_p2
 
     # the reference's second benchmark dataset (ML-20M shape)
     ml_cui = generate_synthetic(ML20M_USERS, ML20M_ITEMS, ML20M_NNZ, seed=1)
