@@ -25,14 +25,15 @@ BATCH = 1000
 NEIGHBOURS = 11
 
 
-def make_model(name):
+def make_model(name, mesh=None):
     """Builds a model by name with hyperparameters tuned for this dataset."""
     import implicit_tpu
     from implicit_tpu import approximate_als, nearest_neighbours
 
     factories = {
+        # mesh= also routes serving item-sharded across the chips
         "als": lambda: implicit_tpu.als.AlternatingLeastSquares(
-            factors=128, dtype=np.float32
+            factors=128, dtype=np.float32, mesh=mesh
         ),
         "nmslib_als": lambda: approximate_als.NMSLibAlternatingLeastSquares(
             factors=128, dtype=np.float32
@@ -46,9 +47,11 @@ def make_model(name):
         "tpu_ivf_als": lambda: approximate_als.TPUIVFAlternatingLeastSquares(
             factors=128, dtype=np.float32
         ),
-        "bpr": lambda: implicit_tpu.bpr.BayesianPersonalizedRanking(factors=63),
+        "bpr": lambda: implicit_tpu.bpr.BayesianPersonalizedRanking(
+            factors=63, mesh=mesh
+        ),
         "lmf": lambda: implicit_tpu.lmf.LogisticMatrixFactorization(
-            factors=30, iterations=40, regularization=1.5
+            factors=30, iterations=40, regularization=1.5, mesh=mesh
         ),
         "cosine": nearest_neighbours.CosineRecommender,
         "tfidf": nearest_neighbours.TFIDFRecommender,
@@ -81,7 +84,7 @@ def load_data(synthetic=False):
     return get_lastfm()
 
 
-def train(model_name, plays, weight_for_als):
+def train(model_name, plays, weight_for_als, mesh=None):
     """Weights the play counts if appropriate and fits the chosen model.
 
     Returns (model, user x artist likes) — ALS-family models train on
@@ -89,7 +92,7 @@ def train(model_name, plays, weight_for_als):
     """
     from implicit_tpu.nearest_neighbours import bm25_weight
 
-    model = make_model(model_name)
+    model = make_model(model_name, mesh=mesh)
     if weight_for_als and model_name.endswith("als"):
         plays = bm25_weight(plays, K1=100, B=0.8).tocsr()
     user_plays = plays.T.tocsr()
@@ -111,10 +114,10 @@ def write_batch(out, query_labels, result_labels, ids, scores):
         out.writelines(lines)
 
 
-def export_similar_artists(output_filename, model_name="als", synthetic=False):
+def export_similar_artists(output_filename, model_name="als", synthetic=False, mesh=None):
     """TSV of the top similar artists for every artist, popular first."""
     artists, _, plays = load_data(synthetic)
-    model, _ = train(model_name, plays, weight_for_als=True)
+    model, _ = train(model_name, plays, weight_for_als=True, mesh=mesh)
     if hasattr(model, "approximate_recommend"):
         model.approximate_recommend = False
 
@@ -127,10 +130,10 @@ def export_similar_artists(output_filename, model_name="als", synthetic=False):
             write_batch(out, artists[chunk], artists, ids, scores)
 
 
-def export_recommendations(output_filename, model_name="als", synthetic=False):
+def export_recommendations(output_filename, model_name="als", synthetic=False, mesh=None):
     """TSV of top-10 artist recommendations for every user."""
     artists, users, plays = load_data(synthetic)
-    model, user_plays = train(model_name, plays, weight_for_als=True)
+    model, user_plays = train(model_name, plays, weight_for_als=True, mesh=mesh)
     if hasattr(model, "approximate_similar_items"):
         model.approximate_similar_items = False
 
@@ -151,11 +154,14 @@ def main():
                         help="recommend artists per user instead of similar artists")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic data (no download)")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="train and serve als/bpr/lmf across an N-device mesh")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.DEBUG)
     run = export_recommendations if args.recommend else export_similar_artists
-    run(args.output, model_name=args.model, synthetic=args.synthetic)
+    run(args.output, model_name=args.model, synthetic=args.synthetic,
+        mesh=args.mesh)
 
 
 if __name__ == "__main__":
