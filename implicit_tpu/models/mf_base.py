@@ -102,6 +102,11 @@ class MatrixFactorizationBase(RecommenderBase):
         state["_item_factors_dev"] = None
         state["_user_factors_dev"] = None
         state["_mesh_serving_cache"] = {}
+        # a jax Mesh holds device handles and isn't picklable; degrade to
+        # its device count (restores as an equivalent local 1-D mesh)
+        mesh = state.get("mesh")
+        if mesh is not None and not isinstance(mesh, int):
+            state["mesh"] = int(np.prod(list(mesh.shape.values())))
         return state
 
     # -- multi-chip serving -------------------------------------------------

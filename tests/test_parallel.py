@@ -207,3 +207,23 @@ def test_mesh_recommend_over_ask_and_empty():
     i2, s2 = meshed.recommend(0, likes[0], N=500, filter_already_liked_items=False)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_meshed_model_pickles():
+    """A model holding a live Mesh object degrades it to a device count on
+    pickle (Mesh holds device handles) and still serves after restore."""
+    import pickle
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    likes = get_checkerboard(30)
+    model = AlternatingLeastSquares(factors=8, iterations=4, random_state=1,
+                                    mesh=create_mesh(8))
+    model.fit(likes, show_progress=False)
+    i1, s1 = model.recommend(1, likes[1], N=3)
+
+    restored = pickle.loads(pickle.dumps(model))
+    assert restored.mesh == 8
+    i2, s2 = restored.recommend(1, likes[1], N=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
