@@ -33,8 +33,10 @@ import time
 import numpy as np
 
 # per-stage watchdog: a hung remote compile service (observed mid-round-3:
-# the chip executes cached programs fine while fresh compiles block forever)
-# must cost one stage, not the whole record
+# the chip executes cached programs fine while fresh compiles block for many
+# minutes) should cost one stage, not the whole record. Best-effort: SIGALRM
+# only preempts the main thread between bytecodes, so it relies on the
+# blocking call (compile RPC / transfer) releasing the GIL — PJRT does.
 STAGE_TIMEOUT = int(os.environ.get("BENCH_STAGE_TIMEOUT", "2400"))
 
 
@@ -308,25 +310,30 @@ def main():
     extras["als_f128_float32_s_per_iter"] = _row(s_f32, A6000_S_PER_ITER[128])
 
     # the pow2 default grid's steady-state cost (the fine rows above are the
-    # opt-in grid="fine" mode) — documents the compile-time/padding trade
-    ub_p2 = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536,
-                        grid="pow2").to_device()
-    ib_p2 = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536,
-                        grid="pow2").to_device()
-    s_p2 = stage("als128_pow2", lambda: bench_als(
-        Cui, ub_p2, ib_p2, 128, "bfloat16"))
+    # opt-in grid="fine" mode) — documents the compile-time/padding trade;
+    # bucket prep/upload runs inside the stage so the watchdog covers it
+    def _pow2_leg():
+        ub = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536,
+                         grid="pow2").to_device()
+        ib = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536,
+                         grid="pow2").to_device()
+        return bench_als(Cui, ub, ib, 128, "bfloat16")
+
+    s_p2 = stage("als128_pow2", _pow2_leg)
     extras["als_f128_pow2grid_s_per_iter"] = _row(s_p2, A6000_S_PER_ITER[128])
-    del ub_p2, ib_p2
 
     # the reference's second benchmark dataset (ML-20M shape)
-    ml_cui = generate_synthetic(ML20M_USERS, ML20M_ITEMS, ML20M_NNZ, seed=1)
-    ml_ciu = ml_cui.T.tocsr()
-    ml_ub = BucketedCSR(ml_cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
-    ml_ib = BucketedCSR(ml_ciu, target_entries=1 << 24, max_chunk_rows=65536).to_device()
-    s_ml = stage("ml20m_als128", lambda: bench_als(
-        ml_cui, ml_ub, ml_ib, 128, "bfloat16"))
+    def _ml20m_leg():
+        ml_cui = generate_synthetic(ML20M_USERS, ML20M_ITEMS, ML20M_NNZ, seed=1)
+        ml_ciu = ml_cui.T.tocsr()
+        ml_ub = BucketedCSR(ml_cui, target_entries=1 << 24,
+                            max_chunk_rows=65536).to_device()
+        ml_ib = BucketedCSR(ml_ciu, target_entries=1 << 24,
+                            max_chunk_rows=65536).to_device()
+        return bench_als(ml_cui, ml_ub, ml_ib, 128, "bfloat16")
+
+    s_ml = stage("ml20m_als128", _ml20m_leg)
     extras["ml20m_als_f128_s_per_iter"] = _row(s_ml, A6000_ML20M_S_PER_ITER[128])
-    del ml_ub, ml_ib
 
     qps_dev = stage("serving_dev", lambda: bench_serving_device(Cui))
     extras["topk_users_per_s_resident_batch8192_160k_items"] = _row(qps_dev, digits=0)

@@ -13,12 +13,14 @@ Usage: python benchmarks/reference_parity.py [--users 2000 --items 800]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "tests"))
 from test_reference_parity import _load_reference_als, _paired_models, _random_likes  # noqa: E402
 
 

@@ -351,8 +351,15 @@ class TPUIVFModel(ANNWrapperBase):
         buf = io.BytesIO()
         self.model.save(buf)
         buf.seek(0)
-        with np.load(buf, allow_pickle=False) as inner:
-            args = {"model__" + k: v for k, v in inner.items()}
+        args = {}
+        with np.load(buf, allow_pickle=True) as inner:
+            for key, value in inner.items():
+                if value.dtype == object:
+                    # e.g. a Generator random_state: pickled object arrays
+                    # would make the file unreadable under allow_pickle=False,
+                    # and post-fit state doesn't need the seed
+                    continue
+                args["model__" + key] = value
         args.update(self.similar_items_index.to_arrays("sim__"))
         args.update(self.recommend_index.to_arrays("rec__"))
         args["model_class"] = type(self.model).__name__
@@ -360,10 +367,15 @@ class TPUIVFModel(ANNWrapperBase):
         args["approximate_recommend"] = self.approximate_recommend
         args["kmeans_iters"] = self.kmeans_iters
         args["probe"] = self._probe
-        for key in ("n_clusters", "n_probe", "random_state"):
+        for key in ("n_clusters", "n_probe"):
             value = getattr(self, key)
             if value is not None:
                 args[key] = value
+        # only an int random_state persists: Generator/RandomState objects
+        # would silently pickle into the npz and break allow_pickle=False
+        # loading — and the seed only matters for the (already-done) build
+        if isinstance(self.random_state, (int, np.integer)):
+            args["random_state"] = int(self.random_state)
         np.savez(fileobj_or_path, **args)
 
     @classmethod

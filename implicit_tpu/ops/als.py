@@ -337,20 +337,36 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
                    use_pallas=use_pallas)
     solve = None
     if iterations > 0:
-        try:
-            import concurrent.futures
+        # no `with` block: ThreadPoolExecutor.__exit__ joins workers, so a
+        # hung compile would turn an interrupt/watchdog timeout here into a
+        # permanent hang; shutdown(wait=False) leaves the stuck worker behind
+        import concurrent.futures
+        import contextlib
 
-            with concurrent.futures.ThreadPoolExecutor(2) as pool:
-                fu = pool.submit(
-                    lambda: _solve_side_jit.lower(X, Y, reg, uc, ue, **statics).compile())
-                fi = pool.submit(
-                    lambda: _solve_side_jit.lower(Y, X, reg, ic, ie, **statics).compile())
-                solve_user, solve_item = fu.result(), fi.result()
+        # jax config contexts (enable_x64) are thread-local: capture the
+        # caller's state and re-apply it inside the compile workers
+        x64 = bool(jax.config.jax_enable_x64)
+
+        def _compile(*args):
+            ctx = jax.enable_x64() if x64 else contextlib.nullcontext()
+            with ctx:
+                return _solve_side_jit.lower(*args, **statics).compile()
+
+        pool = concurrent.futures.ThreadPoolExecutor(2)
+        try:
+            fu = pool.submit(_compile, X, Y, reg, uc, ue)
+            fi = pool.submit(_compile, Y, X, reg, ic, ie)
+            solve_user, solve_item = fu.result(), fi.result()
             solve = lambda A, B, c, e, which: (  # noqa: E731
                 solve_user if which == 0 else solve_item)(A, B, reg, c, e)
-        except Exception:  # pragma: no cover - AOT API regression safety net
+        except (TypeError, AttributeError, NotImplementedError):
+            # pragma: no cover — AOT API regression safety net; deliberately
+            # narrow so watchdog timeouts / interrupts propagate instead of
+            # falling through to a second (equally hung) compile
             log.warning("concurrent AOT compile failed; falling back to jit path",
                         exc_info=True)
+        finally:
+            pool.shutdown(wait=False)
     if solve is None:
         solve = lambda A, B, c, e, which: _solve_side_jit(  # noqa: E731
             A, B, reg, c, e, use_cg, cg_steps, cdt, use_pallas)

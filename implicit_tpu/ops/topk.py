@@ -285,10 +285,17 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
         if use_mesh:
             # replicate the chunk's queries across the mesh explicitly: a
             # committed single-device array can't mix with mesh-committed
-            # items inside one program
-            q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
-            q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
-            q_dev = jax.device_put(q_np, query_replicated)
+            # items inside one program, but device_put reshards it directly
+            # (no host round trip for device-resident queries)
+            if query_on_device:
+                q = query[start:stop].astype(jnp.float32)
+                if rows_here < padded_rows:
+                    q = jnp.pad(q, ((0, padded_rows - rows_here), (0, 0)))
+                q_dev = jax.device_put(q, query_replicated)
+            else:
+                q_np = np.zeros((padded_rows, query.shape[1]), dtype=np.float32)
+                q_np[:rows_here] = np.asarray(query[start:stop], dtype=np.float32)
+                q_dev = jax.device_put(q_np, query_replicated)
         elif query_on_device:
             # stay on device: pad with zeros without a host round-trip
             q_dev = jnp.zeros((padded_rows, query.shape[1]), dtype=jnp.float32)

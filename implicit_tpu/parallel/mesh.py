@@ -17,7 +17,19 @@ def create_mesh(n_devices=None, axis_name="d"):
         n_devices = len(devices)
     if len(devices) < n_devices:
         # fall back to the (possibly virtualized) host CPU backend — used to
-        # validate multi-chip sharding without real multi-chip hardware
+        # validate multi-chip sharding without real multi-chip hardware.
+        # Warn: e.g. a model pickled from an 8-chip mesh and restored on a
+        # 1-chip host would otherwise silently run on host CPU
+        import warnings
+
+        from ..utils import ParameterWarning
+
+        warnings.warn(
+            f"requested a {n_devices}-device mesh but only "
+            f"{len(devices)} accelerator device(s) are visible; falling "
+            "back to (virtual) host CPU devices",
+            ParameterWarning,
+        )
         devices = jax.devices("cpu")
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
