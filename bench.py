@@ -134,12 +134,16 @@ def bench_cold_fit(Cui, factors=64, iterations=5):
 
     import jax
 
-    # pin the child to the parent's backend: the axon sitecustomize
-    # overrides JAX_PLATFORMS env, so config is the only reliable channel
-    parent_backend = jax.default_backend()
+    # the child inherits the accelerator env (JAX_PLATFORMS / plugin
+    # registration) as-is; only a CPU-forced parent (tests, smokes) needs
+    # the explicit config override, since env alone can't win over the
+    # accelerator sitecustomize
+    force_cpu = jax.default_backend() == "cpu"
+    cpu_line = ("jax.config.update('jax_platforms', 'cpu')\n"
+                if force_cpu else "")
     script = (
         "import time, numpy as np, jax, scipy.sparse as sp\n"
-        f"jax.config.update('jax_platforms', {parent_backend!r})\n"
+        + cpu_line +
         f"jax.config.update('jax_compilation_cache_dir', {tempfile.mkdtemp(prefix='jax_cold_bench_')!r})\n"
         "from implicit_tpu.als import AlternatingLeastSquares\n"
         "Cui = sp.load_npz('/tmp/bench_cold_input.npz')\n"
