@@ -279,3 +279,17 @@ def test_grid_pow2_matches_fine():
 def test_grid_invalid_rejected():
     with pytest.raises(ValueError, match="grid"):
         AlternatingLeastSquares(grid="coarse")
+
+
+def test_concurrent_aot_compile_path_active(caplog):
+    """The concurrent side-program compile must not silently fall back to
+    the plain jit path (a thread-local-config regression did exactly that
+    once — caught only because the fallback logged a warning)."""
+    import logging
+
+    likes = csr_matrix(np.ones((20, 12), dtype=np.float32))
+    with caplog.at_level(logging.WARNING, logger="implicit_tpu"):
+        model = AlternatingLeastSquares(factors=8, iterations=2, random_state=0)
+        model.fit(likes, show_progress=False)
+    bad = [r for r in caplog.records if "AOT compile failed" in r.getMessage()]
+    assert not bad, bad

@@ -70,3 +70,47 @@ def test_empty_matrix():
     bucketed = BucketedCSR(csr_matrix((10, 5), dtype=np.float32))
     assert bucketed.classes == []
     assert len(bucketed.empty_rows) == 10
+
+
+def test_pack_pair_on_device_matches_host_packer():
+    """On-device packing (one COO upload) must produce bit-identical class
+    tensors to the host packer for both sides, across grids and shapes."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.sparse import BucketedCSR, pack_pair_on_device
+
+    rng = np.random.default_rng(0)
+    cases = [(300, 200, 0.05, "fine"), (157, 83, 0.12, "pow2"),
+             (64, 400, 0.02, "fine")]
+    for users, items, density, grid in cases:
+        Cui = sparse_random(users, items, density=density,
+                            random_state=np.random.RandomState(1), format="csr")
+        Cui.data = rng.integers(1, 9, Cui.nnz).astype(np.float32)
+        Ciu = Cui.T.tocsr()
+        got_u, got_i = pack_pair_on_device(Cui, Ciu, target_entries=1 << 12,
+                                           grid=grid)
+        want_u = BucketedCSR(Cui, target_entries=1 << 12, grid=grid).to_device()
+        want_i = BucketedCSR(Ciu, target_entries=1 << 12, grid=grid).to_device()
+        for got, want in ((got_u, want_u), (got_i, want_i)):
+            assert len(got.classes) == len(want.classes)
+            assert (got.shape, got.nnz, got.sentinel) == \
+                   (want.shape, want.nnz, want.sentinel)
+            for g, w in zip(got.classes, want.classes):
+                assert (g.L, g.C, g.n_chunks) == (w.L, w.C, w.n_chunks)
+                np.testing.assert_array_equal(np.asarray(g.rows), np.asarray(w.rows))
+                np.testing.assert_array_equal(np.asarray(g.indices),
+                                              np.asarray(w.indices))
+                np.testing.assert_array_equal(np.asarray(g.data), np.asarray(w.data))
+                np.testing.assert_array_equal(np.asarray(g.lengths),
+                                              np.asarray(w.lengths))
+
+
+def test_pack_pair_on_device_empty_matrix():
+    from scipy.sparse import csr_matrix
+
+    from implicit_tpu.sparse import pack_pair_on_device
+
+    Cui = csr_matrix((5, 4), dtype=np.float32)
+    got_u, got_i = pack_pair_on_device(Cui, Cui.T.tocsr())
+    assert got_u.classes == [] and got_i.classes == []
+    assert got_u.nnz == 0
