@@ -182,38 +182,23 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                              1 << 21, 1 << 24))
         grid = "pow2" if self.grid == "auto" else self.grid
         if self.mesh is not None:
-            from ..parallel import create_mesh, shard_buckets
-            from ..parallel.mesh import replicated
-
-            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
-            user_buckets = shard_buckets(BucketedCSR(Cui, target_entries=target,
-                                                      max_chunk_rows=65536,
-                                                      grid=grid), mesh)
-            item_buckets = shard_buckets(BucketedCSR(Ciu, target_entries=target,
-                                                      max_chunk_rows=65536,
-                                                      grid=grid), mesh)
-            X = replicated(mesh, np.asarray(self.user_factors, dtype=np.float32))
-            Y = replicated(mesh, np.asarray(self.item_factors, dtype=np.float32))
-        else:
-            # one COO upload + on-device packing: the padded class tensors
-            # never cross the transport (2-4x fewer upload bytes; the item
-            # side's flat arrays are derived on device)
-            user_buckets, item_buckets = pack_pair_on_device(
-                Cui, Ciu, target_entries=target, max_chunk_rows=65536,
-                grid=grid, data_dtype=solve_dtype)
-            X = jnp.asarray(self.user_factors, dtype=solve_dtype)
-            Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
+            return self._fit_sharded(Cui, Ciu, target, grid, show_progress,
+                                     callback or self.fit_callback)
+        # one COO upload + on-device packing: the padded class tensors
+        # never cross the transport (2-4x fewer upload bytes; the item
+        # side's flat arrays are derived on device)
+        user_buckets, item_buckets = pack_pair_on_device(
+            Cui, Ciu, target_entries=target, max_chunk_rows=65536,
+            grid=grid, data_dtype=solve_dtype)
+        X = jnp.asarray(self.user_factors, dtype=solve_dtype)
+        Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
         log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)
 
         if not callback:
             callback = self.fit_callback
 
-        # sharded training auto-partitions the einsum formulation; the Pallas
-        # kernel path is single-device only, and the sharded path solves f32
-        use_pallas = False if self.mesh is not None else None
+        use_pallas = None
         compute_dtype = self._compute_dtype
-        if self.mesh is not None and compute_dtype == "float64":
-            compute_dtype = "float32"
 
         log.debug("Running %i ALS iterations", self.iterations)
         if callback is None and not self.calculate_training_loss:
@@ -261,6 +246,81 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         if self.calculate_training_loss:
             log.info("Final training loss %.4f", loss)
 
+        self._check_fit_errors()
+
+    def _fit_sharded(self, Cui, Ciu, target, grid, show_progress, callback):
+        """Multi-chip fit over the row-sharded layout (parallel.als_sharded).
+
+        Each chip owns a strided slice of both factor matrices; a
+        half-iteration is fully local given one tiled all-gather of the
+        opposite side per half-iteration, so the Pallas solver kernels run
+        unchanged inside the shard_map.
+        """
+        from ..parallel import create_mesh
+        from ..parallel import als_sharded
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
+        axis = mesh.axis_names[0]
+        D = mesh.shape[axis]
+
+        s = time.time()
+        user_buckets = als_sharded.RowShardedBuckets(
+            Cui, mesh, axis_name=axis, target_entries=target,
+            max_chunk_rows=65536, grid=grid)
+        item_buckets = als_sharded.RowShardedBuckets(
+            Ciu, mesh, axis_name=axis, target_entries=target,
+            max_chunk_rows=65536, grid=grid)
+        shd = NamedSharding(mesh, P(axis, None))
+        X = jax.device_put(als_sharded.permute_rows(
+            np.asarray(self.user_factors, dtype=np.float32), D,
+            user_buckets.block), shd)
+        Y = jax.device_put(als_sharded.permute_rows(
+            np.asarray(self.item_factors, dtype=np.float32), D,
+            item_buckets.block), shd)
+        log.debug("Row-sharded buckets built + uploaded in %.3fs", time.time() - s)
+
+        # the row-sharded layout solves f32/bf16 (the Pallas kernels' dtypes)
+        compute_dtype = self._compute_dtype
+        if compute_dtype == "float64":
+            compute_dtype = "float32"
+
+        loss = None
+        kw = dict(axis_name=axis, use_cg=self.use_cg, cg_steps=self.cg_steps,
+                  compute_dtype=compute_dtype)
+        with tqdm(total=self.iterations, disable=not show_progress) as progress:
+            if callback is None and not self.calculate_training_loss:
+                X, Y = als_sharded.fit(
+                    X, Y, user_buckets, item_buckets, mesh,
+                    self.regularization, self.iterations, **kw)
+                jax.block_until_ready((X, Y))
+                progress.update(self.iterations)
+            else:
+                for iteration in range(self.iterations):
+                    s = time.time()
+                    X, Y = als_sharded.fit(
+                        X, Y, user_buckets, item_buckets, mesh,
+                        self.regularization, 1, **kw)
+                    jax.block_until_ready((X, Y))
+                    progress.update(1)
+                    if self.calculate_training_loss:
+                        loss = als_sharded.calculate_loss(
+                            user_buckets, X, Y, self.regularization, mesh,
+                            axis_name=axis)
+                        progress.set_postfix({"loss": loss})
+                        if not show_progress:
+                            log.info("loss %.4f", loss)
+                    if callback:
+                        callback(iteration, time.time() - s, loss)
+
+        users, items = Cui.shape
+        self.user_factors = als_sharded.unpermute_rows(
+            X, D, user_buckets.block, users).astype(self.dtype)
+        self.item_factors = als_sharded.unpermute_rows(
+            Y, D, item_buckets.block, items).astype(self.dtype)
+
+        if self.calculate_training_loss:
+            log.info("Final training loss %.4f", loss)
         self._check_fit_errors()
 
     def _solve_rows(self, row_items, other_factors, gram):

@@ -257,7 +257,9 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
         else:
             X = _cho_class(X, Yparts, YtY_reg, crows, cidx, cdat)
     if empty_rows is not None:
-        X = X.at[empty_rows].set(0.0)
+        # drop: the row-sharded layout pads per-chip empty-row tables with an
+        # out-of-local-range sentinel
+        X = X.at[empty_rows].set(0.0, mode="drop")
     return X
 
 

@@ -1,0 +1,276 @@
+"""Row-sharded multi-chip ALS: each chip owns a slice of the factor rows.
+
+The first multi-chip ALS layout (mesh.shard_buckets) sharded every chunk's
+row axis and kept both factor matrices replicated, letting GSPMD insert the
+collectives. That is correct but boxed out the Pallas solver kernels
+(``pallas_call`` has no SPMD partitioning rule) and paid a psum of scattered
+factor updates per class.
+
+This layout shards the *solved side's rows* instead. Rows are dealt to chips
+round-robin (row ``u`` lives on chip ``u % D`` at local index ``u // D`` —
+strided assignment keeps the per-chip length distribution statistically
+identical, so power-law catalogs stay load-balanced), and each half-iteration
+under ``shard_map`` is then *fully local*: every chip solves only its own
+rows and scatters into its own factor shard. The only communication is ONE
+tiled all-gather of the opposite side's factor shard per half-iteration
+(~U*F*4 bytes over ICI — milliseconds), after which the gathered table is an
+ordinary local array, so the tile-resident Pallas CG/Cholesky kernels run
+unchanged inside the shard. This is the standard TPU recipe (shard the
+updated state, all-gather the read-only operand) rather than a translation of
+the reference's single-GPU design (/root/reference/implicit/gpu/als.cu:169,
+"TODO: multi-gpu support").
+
+Because the gathered table is laid out in shard order, class ``indices`` are
+stored *pre-permuted* (global column id ``i`` -> ``(i % D) * block + i // D``)
+at build time, so the device never pays a remap.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.als import _solve_side_impl, _loss_chunk_terms
+
+
+def _block(n_rows, D):
+    """Rows per chip (ceil), at least 1 so every shard is non-empty."""
+    return max(1, -(-n_rows // D))
+
+
+def permute_rows(x, D, block):
+    """Host factor matrix -> shard-order layout, zero-padded to D*block."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    out = np.zeros((D * block,) + x.shape[1:], dtype=x.dtype)
+    u = np.arange(n)
+    out[(u % D) * block + u // D] = x
+    return out
+
+
+def unpermute_rows(xp, D, block, n_rows):
+    """Shard-order device layout -> canonical host row order."""
+    u = np.arange(n_rows)
+    return np.asarray(xp)[(u % D) * block + u // D]
+
+
+class _ShardedClass:
+    __slots__ = ("L", "C", "n_chunks", "rows", "indices", "data")
+
+    def __init__(self, L, rows, indices, data):
+        self.L = L
+        _, self.n_chunks, self.C = rows.shape
+        self.rows = rows          # (D, n, C) local row ids, sentinel = block
+        self.indices = indices    # (D, n, C, L) pre-permuted column ids
+        self.data = data          # (D, n, C, L)
+
+
+class RowShardedBuckets:
+    """One training side, bucketed per chip and sharded over the mesh axis.
+
+    ``classes`` hold LOCAL row ids (sentinel = ``block``, out of local range
+    so scatters drop padding) and column indices already mapped into the
+    opposite side's shard-order layout. ``empty_rows`` is a (D, max_empty)
+    local-id table padded with the sentinel.
+    """
+
+    def __init__(self, csr, mesh, axis_name="d", target_entries=1 << 23,
+                 max_chunk_rows=65536, min_L=8, grid="pow2",
+                 data_dtype=np.float32):
+        from .. import native
+
+        D = mesh.shape[axis_name]
+        n_rows, n_cols = csr.shape
+        self.shape = csr.shape
+        self.n_rows = n_rows
+        self.nnz = csr.nnz
+        self.D = D
+        self.block = _block(n_rows, D)
+        self.col_block = _block(n_cols, D)
+
+        row_shd = NamedSharding(mesh, P(axis_name, None, None))
+        ent_shd = NamedSharding(mesh, P(axis_name, None, None, None))
+
+        indptr = np.asarray(csr.indptr)
+        nnz_per_row = np.diff(indptr).astype(np.int64)
+        csr_indices = np.asarray(csr.indices, dtype=np.int32)
+        csr_data = np.asarray(csr.data, dtype=np.dtype(data_dtype))
+
+        # empty rows, per owning chip, as a padded local-id table
+        empties = np.where(nnz_per_row == 0)[0]
+        per_chip = [empties[empties % D == k] // D for k in range(D)]
+        max_e = max((len(e) for e in per_chip), default=0)
+        if max_e:
+            table = np.full((D, max_e), self.block, dtype=np.int32)
+            for k, e in enumerate(per_chip):
+                table[k, : len(e)] = e
+            self.empty_rows = jax.device_put(
+                table, NamedSharding(mesh, P(axis_name, None)))
+        else:
+            self.empty_rows = None
+
+        # length class per row — same grids as sparse.BucketedCSR
+        nonempty = np.where(nnz_per_row > 0)[0]
+        self.classes = []
+        if len(nonempty) == 0:
+            return
+        n = nnz_per_row[nonempty]
+        p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
+        L_per_row = np.maximum(min_L, p)
+        if grid != "pow2":
+            for eighths in (7, 6, 5):
+                cand = (eighths * p) // 8
+                ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
+                L_per_row = np.where(ok, cand, L_per_row)
+
+        for L in np.unique(L_per_row):
+            L = int(L)
+            in_class = nonempty[L_per_row == L]
+            sels = []
+            for k in range(D):
+                sel = in_class[in_class % D == k]
+                # first-column ordering: consecutive rows gather nearby
+                # factor rows (same locality trick as the host packer)
+                sel = sel[np.argsort(csr_indices[indptr[sel]], kind="stable")]
+                sels.append(sel)
+            count = max(len(s) for s in sels)
+            C = max(8, (min(max_chunk_rows, target_entries // L) // 8) * 8)
+            C = min(C, max(8, -(-count // 8) * 8))
+            n_chunks = -(-count // C)
+            padded = n_chunks * C
+
+            rows = np.full((D, padded), self.block, dtype=np.int32)
+            idx = np.zeros((D, padded, L), dtype=np.int32)
+            dat = np.zeros((D, padded, L), dtype=csr_data.dtype)
+            for k, sel in enumerate(sels):
+                if not len(sel):
+                    continue
+                rows[k, : len(sel)] = (sel // D).astype(np.int32)
+                pi, pd = native.pack_ragged(
+                    indptr, csr_indices, csr_data, sel.astype(np.int32), L,
+                    dtype=csr_data.dtype)
+                # pre-permute column ids into the gathered table's shard
+                # order; padding entries (id 0, data 0) stay in range
+                idx[k, : len(sel)] = (pi % D) * self.col_block + pi // D
+                dat[k, : len(sel)] = pd
+            self.classes.append(_ShardedClass(
+                L,
+                jax.device_put(rows.reshape(D, n_chunks, C), row_shd),
+                jax.device_put(idx.reshape(D, n_chunks, C, L), ent_shd),
+                jax.device_put(dat.reshape(D, n_chunks, C, L), ent_shd),
+            ))
+
+
+def _class_tuples(sharded):
+    return tuple((c.rows, c.indices, c.data) for c in sharded.classes)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fit(mesh, axis_name, uspec_key, ispec_key, iterations, use_cg,
+               cg_steps, compute_dtype, use_pallas):
+    """Compiled shard_map fit (cached per mesh / class-structure / statics).
+
+    ``uspec_key``/``ispec_key`` carry (n_classes, has_empty) so the in_specs
+    pytree matches the argument structure exactly.
+    """
+    from jax import shard_map
+
+    def spec(rank):
+        return P(*((axis_name,) + (None,) * (rank - 1)))
+
+    cls = (spec(3), spec(4), spec(4))
+    nu, u_empty = uspec_key
+    ni, i_empty = ispec_key
+    in_specs = (
+        spec(2), spec(2),
+        tuple(cls for _ in range(nu)),
+        spec(2) if u_empty else None,
+        tuple(cls for _ in range(ni)),
+        spec(2) if i_empty else None,
+        P(),
+    )
+
+    def run(X, Y, uclasses, uempty, iclasses, iempty, reg):
+        sq = lambda t: tuple((r[0], i[0], d[0]) for r, i, d in t)  # noqa: E731
+        uc, ic = sq(uclasses), sq(iclasses)
+        ue = None if uempty is None else uempty[0]
+        ie = None if iempty is None else iempty[0]
+        for _ in range(iterations):
+            Yf = jax.lax.all_gather(Y, axis_name, axis=0, tiled=True)
+            X = _solve_side_impl(X, Yf, reg, uc, ue, use_cg, cg_steps,
+                                 compute_dtype, use_pallas)
+            Xf = jax.lax.all_gather(X, axis_name, axis=0, tiled=True)
+            Y = _solve_side_impl(Y, Xf, reg, ic, ie, use_cg, cg_steps,
+                                 compute_dtype, use_pallas)
+        return X, Y
+
+    return jax.jit(
+        shard_map(run, mesh=mesh, in_specs=in_specs,
+                            out_specs=(spec(2), spec(2)), check_vma=False),
+        donate_argnums=(0, 1),
+    )
+
+
+def fit(X, Y, user_sh, item_sh, mesh, reg, iterations, axis_name="d",
+        use_cg=True, cg_steps=3, compute_dtype="float32", use_pallas=None):
+    """``iterations`` full ALS iterations over the row-sharded layout.
+
+    X/Y are shard-order factor matrices (permute_rows) placed with
+    P(axis, None); returns updated arrays in the same layout/placement.
+    """
+    from ..ops.als import PALLAS_IN_FIT, _on_tpu
+
+    if jnp.dtype(compute_dtype) == jnp.float64:
+        use_pallas = False
+    elif use_pallas is None:
+        use_pallas = PALLAS_IN_FIT and _on_tpu(X)
+    step = _build_fit(
+        mesh, axis_name,
+        (len(user_sh.classes), user_sh.empty_rows is not None),
+        (len(item_sh.classes), item_sh.empty_rows is not None),
+        iterations, use_cg, cg_steps, jnp.dtype(compute_dtype).name,
+        use_pallas,
+    )
+    return step(X, Y, _class_tuples(user_sh), user_sh.empty_rows,
+                _class_tuples(item_sh), item_sh.empty_rows, jnp.float32(reg))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_loss(mesh, axis_name, n_classes):
+    from jax import shard_map
+
+    def spec(rank):
+        return P(*((axis_name,) + (None,) * (rank - 1)))
+
+    cls = (spec(3), spec(4), spec(4))
+
+    def run(X, Y, classes):
+        Yf = jax.lax.all_gather(Y, axis_name, axis=0, tiled=True)
+        YtY = jnp.dot(Yf.T, Yf, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+        loss = jnp.float32(0.0)
+        conf = jnp.float32(0.0)
+        for rows, idx, dat in classes:
+            l, c = _loss_chunk_terms(X, Yf, YtY, rows[0], idx[0], dat[0])
+            loss, conf = loss + l, conf + c
+        return (jax.lax.psum(loss, axis_name)[None],
+                jax.lax.psum(conf, axis_name)[None])
+
+    return jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(spec(2), spec(2), tuple(cls for _ in range(n_classes))),
+        out_specs=(P(), P()), check_vma=False))
+
+
+def calculate_loss(user_sh, X, Y, reg, mesh, axis_name="d"):
+    """Confidence-weighted MSE over the row-sharded layout (loss parity with
+    ops.als.calculate_loss_bucketed)."""
+    loss_fn = _build_loss(mesh, axis_name, len(user_sh.classes))
+    loss, conf = loss_fn(X, Y, _class_tuples(user_sh))
+    loss, conf = float(loss[0]), float(conf[0])
+    loss += conf
+    loss += float(reg) * (float(jnp.sum(X * X)) + float(jnp.sum(Y * Y)))
+    users, items = user_sh.shape
+    return loss / (conf + users * items - user_sh.nnz)
