@@ -14,11 +14,18 @@ under ``shard_map`` is then *fully local*: every chip solves only its own
 rows and scatters into its own factor shard. The only communication is ONE
 tiled all-gather of the opposite side's factor shard per half-iteration
 (~U*F*4 bytes over ICI — milliseconds), after which the gathered table is an
-ordinary local array, so the tile-resident Pallas CG/Cholesky kernels run
+ordinary local array, so every single-device solver formulation runs
 unchanged inside the shard. This is the standard TPU recipe (shard the
 updated state, all-gather the read-only operand) rather than a translation of
 the reference's single-GPU design (/root/reference/implicit/gpu/als.cu:169,
 "TODO: multi-gpu support").
+
+The solve runs the einsum formulation by default: measured at mesh=1 it is
+within 6% of the same formulation outside shard_map (0.414 vs 0.392 s/iter,
+last.fm shape f=128 bf16), i.e. the layout itself is near-zero-overhead,
+while the Mosaic tile kernels — though they compile and validate inside the
+shard — currently degrade ~2.5x at the XLA<->Mosaic boundary under manual
+sharding (0.738 vs 0.295 s/iter). ``use_pallas=True`` keeps them available.
 
 Because the gathered table is laid out in shard order, class ``indices`` are
 stored *pre-permuted* (global column id ``i`` -> ``(i % D) * block + i // D``)
@@ -168,9 +175,12 @@ def _class_tuples(sharded):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fit(mesh, axis_name, uspec_key, ispec_key, iterations, use_cg,
-               cg_steps, compute_dtype, use_pallas):
-    """Compiled shard_map fit (cached per mesh / class-structure / statics).
+def _build_step(mesh, axis_name, uspec_key, ispec_key, use_cg,
+                cg_steps, compute_dtype, use_pallas):
+    """Compiled ONE-iteration shard_map step (cached per mesh / class
+    structure / statics). A single-iteration program keeps the compile cost
+    independent of the iteration count — ``fit`` enqueues it N times without
+    host synchronization, so the per-call dispatch overhead pipelines away.
 
     ``uspec_key``/``ispec_key`` carry (n_classes, has_empty) so the in_specs
     pytree matches the argument structure exactly.
@@ -197,18 +207,17 @@ def _build_fit(mesh, axis_name, uspec_key, ispec_key, iterations, use_cg,
         uc, ic = sq(uclasses), sq(iclasses)
         ue = None if uempty is None else uempty[0]
         ie = None if iempty is None else iempty[0]
-        for _ in range(iterations):
-            Yf = jax.lax.all_gather(Y, axis_name, axis=0, tiled=True)
-            X = _solve_side_impl(X, Yf, reg, uc, ue, use_cg, cg_steps,
-                                 compute_dtype, use_pallas)
-            Xf = jax.lax.all_gather(X, axis_name, axis=0, tiled=True)
-            Y = _solve_side_impl(Y, Xf, reg, ic, ie, use_cg, cg_steps,
-                                 compute_dtype, use_pallas)
+        Yf = jax.lax.all_gather(Y, axis_name, axis=0, tiled=True)
+        X = _solve_side_impl(X, Yf, reg, uc, ue, use_cg, cg_steps,
+                             compute_dtype, use_pallas)
+        Xf = jax.lax.all_gather(X, axis_name, axis=0, tiled=True)
+        Y = _solve_side_impl(Y, Xf, reg, ic, ie, use_cg, cg_steps,
+                             compute_dtype, use_pallas)
         return X, Y
 
     return jax.jit(
         shard_map(run, mesh=mesh, in_specs=in_specs,
-                            out_specs=(spec(2), spec(2)), check_vma=False),
+                  out_specs=(spec(2), spec(2)), check_vma=False),
         donate_argnums=(0, 1),
     )
 
@@ -219,22 +228,30 @@ def fit(X, Y, user_sh, item_sh, mesh, reg, iterations, axis_name="d",
 
     X/Y are shard-order factor matrices (permute_rows) placed with
     P(axis, None); returns updated arrays in the same layout/placement.
+    All iterations are enqueued asynchronously (one compiled step, no host
+    round-trip between them).
     """
-    from ..ops.als import PALLAS_IN_FIT, _on_tpu
-
-    if jnp.dtype(compute_dtype) == jnp.float64:
+    # Default OFF (measured, v5e, last.fm shape, f=128 bf16, mesh=1): the
+    # einsum formulation inside shard_map costs 0.414 s/iter vs 0.392
+    # outside (+6% — near-perfect per-chip efficiency), while the Mosaic
+    # tile kernels degrade 2.5x inside shard_map (0.738 vs 0.295 outside,
+    # an XLA<->Mosaic boundary effect, not solver math). Opt in with
+    # use_pallas=True to re-measure on future toolchains.
+    if use_pallas is None or jnp.dtype(compute_dtype) == jnp.float64:
         use_pallas = False
-    elif use_pallas is None:
-        use_pallas = PALLAS_IN_FIT and _on_tpu(X)
-    step = _build_fit(
+    step = _build_step(
         mesh, axis_name,
         (len(user_sh.classes), user_sh.empty_rows is not None),
         (len(item_sh.classes), item_sh.empty_rows is not None),
-        iterations, use_cg, cg_steps, jnp.dtype(compute_dtype).name,
+        use_cg, cg_steps, jnp.dtype(compute_dtype).name,
         use_pallas,
     )
-    return step(X, Y, _class_tuples(user_sh), user_sh.empty_rows,
-                _class_tuples(item_sh), item_sh.empty_rows, jnp.float32(reg))
+    uc, ue = _class_tuples(user_sh), user_sh.empty_rows
+    ic, ie = _class_tuples(item_sh), item_sh.empty_rows
+    reg = jnp.float32(reg)
+    for _ in range(iterations):
+        X, Y = step(X, Y, uc, ue, ic, ie, reg)
+    return X, Y
 
 
 @functools.lru_cache(maxsize=None)
