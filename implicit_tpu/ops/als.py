@@ -58,8 +58,33 @@ def gramian(Y, reg):
 # select-chain, half-width dual gathers, index clamping, and locality
 # re-orderings were all measured SLOWER than the single big gather — the
 # cliff sits in XLA's gather lowering, not in anything this layer controls.
-def _gather_rows(Yc, idx):
-    return Yc[idx]
+# Packed-gather variant (ALS_PACKED_GATHER=1, measured dead end): bitcast-
+# packing bf16 factor pairs into f32 lanes gathers ~1.5x faster at F=128 in
+# isolation (half the lanes, same bytes), but END-TO-END the half-iteration
+# is 2.7x SLOWER (0.621 vs 0.227 s/iter at last.fm f=128; 0.780 vs 0.452 at
+# f=192): the gathered block feeds the Pallas kernels, so the unpack can't
+# fuse — XLA materializes the (C, L, F) bf16 block through a 64-f32-lane ->
+# 128-bf16-lane relayout shuffle that costs more than the gather saves. In
+# the microbench the bitcast fused straight into the consuming reduction.
+def _packed_gather_enabled():
+    import os
+
+    return os.environ.get("ALS_PACKED_GATHER", "0") == "1"
+
+
+def _pack_table(Y):
+    """(N, F) bfloat16 -> (N, F//2) float32 with adjacent-pair packing."""
+    n, f = Y.shape
+    return jax.lax.bitcast_convert_type(Y.reshape(n, f // 2, 2), jnp.float32)
+
+
+def _gather_rows(Yc, idx, factors=None):
+    g = Yc[idx]
+    if factors is not None and Yc.shape[-1] != factors:
+        # packed table: reinterpret the f32 pairs as the original bf16 lanes
+        g = jax.lax.bitcast_convert_type(g, jnp.bfloat16)
+        g = g.reshape(*g.shape[:-2], factors)
+    return g
 
 
 def _weights(dat):
@@ -117,6 +142,7 @@ def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     from . import pallas_ops
 
     n_rows = X.shape[0]
+    n_fac = X.shape[1]
 
     if use_pallas:
         sparse_term = pallas_ops.weighted_matvec
@@ -125,7 +151,7 @@ def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx)  # (C, L, F) gather in compute dtype
+        Yu = _gather_rows(Yparts, cidx, n_fac)  # (C, L, F) gather in compute dtype
         w, bv = _weights(cdat)
         x = X[jnp.clip(crows, 0, n_rows - 1)]
 
@@ -154,9 +180,11 @@ def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
     problems the way the reference's LAPACK fallback effectively does.
     """
 
+    n_fac = X.shape[1]
+
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx)
+        Yu = _gather_rows(Yparts, cidx, n_fac)
         w, bv = _weights(cdat)
         acc_dt = jnp.float64 if Yu.dtype == jnp.float64 else jnp.float32
         b = jnp.einsum("cl,clf->cf", bv.astype(Yu.dtype), Yu,
@@ -200,7 +228,7 @@ def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx)
+        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
         x = pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
         X = X.at[crows].set(x, mode="drop")
@@ -226,7 +254,7 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     def chunk_step(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx)
+        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
         x = pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps)
         X = X.at[crows].set(x, mode="drop")
@@ -237,12 +265,16 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                     use_pallas):
+                     use_pallas, packed_gather=False):
     from . import pallas_ops
 
     YtY_reg = gramian(Y, reg)
     Yparts = Y.astype(compute_dtype)
     factors = X.shape[1]
+    if packed_gather and Yparts.dtype == jnp.bfloat16 and factors % 2 == 0:
+        # half-lane packed gather table (see the gather-speed NOTE above);
+        # _gather_rows reinterprets each gathered block back to bf16
+        Yparts = _pack_table(Yparts)
     max_l = _full_cg_max_l(compute_dtype, factors)
     itemsize = jnp.dtype(compute_dtype).itemsize
     for crows, cidx, cdat in classes:
@@ -265,13 +297,14 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas"),
+    static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas",
+                     "packed_gather"),
     donate_argnums=(0,),
 )
 def _solve_side_jit(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                    use_pallas):
+                    use_pallas, packed_gather=False):
     return _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps,
-                            compute_dtype, use_pallas)
+                            compute_dtype, use_pallas, packed_gather)
 
 
 def _class_tuples(buckets):
@@ -311,6 +344,7 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
     return _solve_side_jit(
         X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
         use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
+        _packed_gather_enabled(),
     )
 
 
@@ -336,7 +370,7 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     # the AOT API before entering the loop — halves time-to-first-iteration
     # on a fresh shape; a cache hit makes both lower+compile calls cheap
     statics = dict(use_cg=use_cg, cg_steps=cg_steps, compute_dtype=cdt,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, packed_gather=_packed_gather_enabled())
     solve = None
     if iterations > 0:
         # no `with` block: ThreadPoolExecutor.__exit__ joins workers, so a
@@ -371,7 +405,8 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
             pool.shutdown(wait=False)
     if solve is None:
         solve = lambda A, B, c, e, which: _solve_side_jit(  # noqa: E731
-            A, B, reg, c, e, use_cg, cg_steps, cdt, use_pallas)
+            A, B, reg, c, e, use_cg, cg_steps, cdt, use_pallas,
+            statics["packed_gather"])
     for _ in range(iterations):
         X = solve(X, Y, uc, ue, 0)
         Y = solve(Y, X, ic, ie, 1)

@@ -41,6 +41,20 @@ def test_cholesky_close_to_converged_cg():
     np.testing.assert_allclose(np.asarray(x_cg), np.asarray(x_cho), atol=1e-3, rtol=1e-2)
 
 
+def test_packed_gather_variant_matches(monkeypatch):
+    # ALS_PACKED_GATHER=1 is a kept measurement point (end-to-end dead end on
+    # TPU, see the ops/als.py gather NOTE); the packed table must still solve
+    # to the identical result — the bitcast round-trip is value-preserving.
+    buckets, X0, Y = _setup(seed=3)
+    base = als_ops.solve_side(jnp.array(X0), Y, buckets, 0.01,
+                              compute_dtype="bfloat16")
+    monkeypatch.setenv("ALS_PACKED_GATHER", "1")
+    packed = als_ops.solve_side(jnp.array(X0), Y, buckets, 0.01,
+                                compute_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(base), np.asarray(packed),
+                               atol=2e-6, rtol=1e-4)
+
+
 def test_bf16_compute_close_to_f32():
     buckets, X0, Y = _setup(seed=2)
     x32 = als_ops.solve_side(jnp.array(X0), Y, buckets, 0.01, compute_dtype="float32")
