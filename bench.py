@@ -229,6 +229,60 @@ def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
     return batch * n_batches / min(run() for _ in range(3))
 
 
+def bench_serving_ivf(Cui, factors=128, batch=1024, n_batches=4, k=10):
+    """TPU-native IVF approximate serving: throughput (users/s) + recall@10
+    vs the exact MXU path on the same factors. Capability row for the
+    beyond-reference ANN layer (the reference needs faiss/annoy/nmslib for
+    this surface); at this catalog size exact brute force is competitive —
+    the IVF win is catalogs whose factor tables outgrow device residency."""
+    import warnings
+
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.ann.ivf import TPUIVFModel
+
+    rng = np.random.default_rng(3)
+    model = AlternatingLeastSquares(factors=factors)
+    # clustered factors (mixture of Gaussians): trained embeddings cluster,
+    # and IVF recall is only meaningful on clusterable data — isotropic
+    # random factors are its worst case (recall ~0.5 measured)
+    centers_i = rng.standard_normal((256, factors), dtype=np.float32) * 2.0
+    centers_u = rng.standard_normal((256, factors), dtype=np.float32) * 2.0
+    model.user_factors = (
+        centers_u[rng.integers(0, 256, Cui.shape[0])]
+        + rng.standard_normal((Cui.shape[0], factors), dtype=np.float32) * 0.5)
+    model.item_factors = (
+        centers_i[rng.integers(0, 256, Cui.shape[1])]
+        + rng.standard_normal((Cui.shape[1], factors), dtype=np.float32) * 0.5)
+    # n_probe=8 of ~800 lists: measured 0.97 recall on clustered factors
+    # (1% of the catalog scored per query); exact brute force still wins at
+    # this catalog size — see the docstring
+    wrapper = TPUIVFModel(model, random_state=7, n_probe=8)
+    wrapper._build_indexes(model.item_factors)
+
+    userids = np.arange(batch)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        wrapper.recommend(userids, Cui[userids], N=k)  # warmup / compile
+
+        def run():
+            t0 = time.time()
+            for i in range(n_batches):
+                users = np.arange(i * batch, (i + 1) * batch)
+                ids, _ = wrapper.recommend(users, Cui[users], N=k)
+            return ids, time.time() - t0
+
+        ids, _ = run()
+        best = min(run()[1] for _ in range(3))
+        exact_ids, _ = model.recommend(
+            np.arange((n_batches - 1) * batch, n_batches * batch),
+            Cui[(n_batches - 1) * batch: n_batches * batch], N=k)
+    recall = float(np.mean([
+        len(np.intersect1d(a, b)) / k for a, b in zip(ids, exact_ids)
+    ]))
+    return {"users_per_s": round(batch * n_batches / best),
+            "recall_at_10_vs_exact": round(recall, 3)}
+
+
 def bench_quality():
     """End-to-end p@10 per model family on a clustered synthetic set
     (3000x600, 20 groups) — the quality-parity gate across families."""
@@ -346,6 +400,9 @@ def main():
     # bigger batches amortize the per-call host/transport round trip
     qps8k = stage("serving8k", lambda: bench_serving(Cui, batch=8192, n_batches=4))
     extras["recommend_users_per_s_batch8192_160k_items"] = _row(qps8k, digits=0)
+    ivf = stage("serving_ivf", lambda: bench_serving_ivf(Cui))
+    extras["ivf_recommend_batch1024_160k_items"] = {
+        "value": ivf, "note": None if ivf else "stage timed out or failed"}
 
     bpr_s = stage("bpr", lambda: bench_sgd_epochs(
         BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
