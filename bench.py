@@ -229,6 +229,34 @@ def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
     return batch * n_batches / min(run() for _ in range(3))
 
 
+def bench_serving_pipelined(Cui, factors=128, batch=1024, n_batches=8, k=10):
+    """Streaming recommend throughput (users/s) at small batches: the
+    recommend_pipelined generator keeps a bounded window of batches in
+    flight, hiding each call's host-prep/transport legs behind device
+    compute of its neighbors. Same inputs as the batch-1024 row above —
+    the delta between the two rows is recovered dispatch overhead."""
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(3)
+    model = AlternatingLeastSquares(factors=factors)
+    model.user_factors = rng.standard_normal((Cui.shape[0], factors), dtype=np.float32)
+    model.item_factors = rng.standard_normal((Cui.shape[1], factors), dtype=np.float32)
+
+    userids = np.arange(batch)
+    model.recommend(userids, Cui[userids], N=k)  # warmup / compile
+
+    def run():
+        batches = [np.arange(i * batch, (i + 1) * batch) for i in range(n_batches)]
+        t0 = time.time()
+        out = list(model.recommend_pipelined(
+            ((b, Cui[b]) for b in batches), N=k, max_in_flight=4))
+        assert len(out) == n_batches and out[-1][0].shape == (batch, k)
+        return time.time() - t0
+
+    run()  # warmup / compile
+    return batch * n_batches / min(run() for _ in range(3))
+
+
 def bench_serving_ivf(Cui, factors=128, batch=1024, n_batches=4, k=10):
     """TPU-native IVF approximate serving: throughput (users/s) + recall@10
     vs the exact MXU path on the same factors. Capability row for the
@@ -400,6 +428,9 @@ def main():
     # bigger batches amortize the per-call host/transport round trip
     qps8k = stage("serving8k", lambda: bench_serving(Cui, batch=8192, n_batches=4))
     extras["recommend_users_per_s_batch8192_160k_items"] = _row(qps8k, digits=0)
+    # ...or keep small batches and hide the round trips behind the device:
+    qps_pl = stage("serving_pipelined", lambda: bench_serving_pipelined(Cui))
+    extras["recommend_pipelined_users_per_s_batch1024_160k_items"] = _row(qps_pl, digits=0)
     ivf = stage("serving_ivf", lambda: bench_serving_ivf(Cui))
     extras["ivf_recommend_batch1024_160k_items"] = {
         "value": ivf, "note": None if ivf else "stage timed out or failed"}

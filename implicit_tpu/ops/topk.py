@@ -173,6 +173,44 @@ def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_nor
     return jax.lax.top_k(scores, k)
 
 
+class TopkFuture:
+    """Deferred top-k result: dispatched to the device, not yet fetched.
+
+    Returned by :func:`topk_async`. Calling :meth:`result` drains the
+    remaining device buffers to the host and returns the final
+    ``(ids, distances)`` numpy arrays (identical to what :func:`topk` would
+    have returned). Dispatches are asynchronous, so work enqueued by later
+    calls overlaps this future's device compute — the building block for
+    pipelined serving where per-call host/transport round trips dominate
+    (see MatrixFactorizationBase.recommend_pipelined).
+    """
+
+    def __init__(self, pending, ids_out, scores_out, k, k_eff):
+        self._pending = pending
+        self._ids_out = ids_out
+        self._scores_out = scores_out
+        self._k = k
+        self._k_eff = k_eff
+        self._done = False
+
+    def result(self):
+        if not self._done:
+            for s0, s1, rows_n, vals, idx in self._pending:
+                self._ids_out[s0:s1] = np.asarray(idx)[:rows_n]
+                self._scores_out[s0:s1] = np.asarray(vals)[:rows_n]
+            self._pending = []
+            if self._k_eff < self._k:
+                q_rows = self._ids_out.shape[0]
+                pad_ids = np.full((q_rows, self._k - self._k_eff), -1, dtype=np.int32)
+                pad_scores = np.full(
+                    (q_rows, self._k - self._k_eff), NEG_MAX,
+                    dtype=self._scores_out.dtype)
+                self._ids_out = np.concatenate([self._ids_out, pad_ids], axis=1)
+                self._scores_out = np.concatenate([self._scores_out, pad_scores], axis=1)
+            self._done = True
+        return self._ids_out, self._scores_out
+
+
 def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items=None,
          num_threads=0, mesh=None, n_items=None):
     """Return the top ``k`` scoring item (ids, distances) for each query row.
@@ -199,6 +237,22 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
     -------
     (ids, distances) : (Q, k) int32 / float32 numpy arrays. If k exceeds the
     number of items, the tail is padded with id -1 / score -FLT_MAX.
+    """
+    return topk_async(
+        items, query, k, item_norms=item_norms,
+        filter_query_items=filter_query_items, filter_items=filter_items,
+        num_threads=num_threads, mesh=mesh, n_items=n_items,
+    ).result()
+
+
+def topk_async(items, query, k, item_norms=None, filter_query_items=None,
+               filter_items=None, num_threads=0, mesh=None, n_items=None):
+    """Like :func:`topk` but returns a :class:`TopkFuture` without fetching.
+
+    All device work is enqueued (chunk uploads, GEMM+select programs); the
+    host-side result copy is deferred to ``.result()``. Within the call, a
+    bounded in-flight window still drains early chunks into the output
+    buffers so a huge query batch can't accumulate unbounded device memory.
     """
     query = np.asarray(query) if not isinstance(query, jax.Array) else query
     if query.ndim == 1:
@@ -232,8 +286,8 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
     else:
         n_items = items.shape[0]
     if k <= 0:
-        return (np.empty((q_rows, 0), dtype=np.int32),
-                np.empty((q_rows, 0), dtype=np.float32))
+        return TopkFuture([], np.empty((q_rows, 0), dtype=np.int32),
+                          np.empty((q_rows, 0), dtype=np.float32), 0, 0)
     k_eff = max(1, min(int(k), n_items))
 
     out_dtype = np.float32
@@ -347,12 +401,4 @@ def topk(items, query, k, item_norms=None, filter_query_items=None, filter_items
         _drain(_MAX_IN_FLIGHT - 1)
         start = stop
 
-    _drain(0)
-
-    if k_eff < k:
-        pad_ids = np.full((q_rows, k - k_eff), -1, dtype=np.int32)
-        pad_scores = np.full((q_rows, k - k_eff), NEG_MAX, dtype=out_dtype)
-        ids_out = np.concatenate([ids_out, pad_ids], axis=1)
-        scores_out = np.concatenate([scores_out, pad_scores], axis=1)
-
-    return ids_out, scores_out
+    return TopkFuture(pending, ids_out, scores_out, k, k_eff)

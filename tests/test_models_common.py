@@ -428,3 +428,37 @@ def test_fit_callback(model_factory):
         return
 
     assert num_called >= 1
+
+
+def test_recommend_pipelined(model_factory):
+    user_items = get_checkerboard(50)
+
+    model = model_factory()
+    model.fit(user_items, show_progress=False)
+    if not hasattr(model, "recommend_pipelined"):
+        pytest.skip("model has no MF serving base")
+
+    batches = [np.arange(0, 20), np.arange(20, 35), np.arange(35, 50)]
+    results = list(model.recommend_pipelined(
+        ((b, user_items[b]) for b in batches), N=3, max_in_flight=2))
+    assert len(results) == len(batches)
+    for b, (ids, scores) in zip(batches, results):
+        ref_ids, ref_scores = model.recommend(b, user_items[b], N=3)
+        assert_array_equal(ids, ref_ids)
+        assert np.allclose(scores, ref_scores, atol=1e-5)
+
+    # without filtering, batches are bare userid arrays
+    results = list(model.recommend_pipelined(
+        batches, N=3, filter_already_liked_items=False))
+    for b, (ids, scores) in zip(batches, results):
+        ref_ids, _ = model.recommend(
+            b, user_items[b], N=3, filter_already_liked_items=False)
+        assert_array_equal(ids, ref_ids)
+
+    # items= subsetting applies across the stream
+    sub = np.arange(1, 40)
+    results = list(model.recommend_pipelined(
+        ((b, user_items[b]) for b in batches), N=3, items=sub))
+    for b, (ids, scores) in zip(batches, results):
+        ref_ids, _ = model.recommend(b, user_items[b], N=3, items=sub)
+        assert_array_equal(ids, ref_ids)

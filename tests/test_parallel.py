@@ -293,3 +293,29 @@ def test_meshed_model_pickles():
     i2, s2 = restored.recommend(1, likes[1], N=3)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_mesh_recommend_pipelined():
+    """Pipelined streaming serving works over a mesh and matches per-batch
+    mesh recommend exactly (same item-sharded score + ICI merge path)."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(21)
+    likes = sparse_random(100, 70, density=0.1, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 6, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    model = AlternatingLeastSquares(factors=16, iterations=4, random_state=5,
+                                    mesh=8)
+    model.fit(likes, show_progress=False)
+
+    batches = [np.arange(0, 40), np.arange(40, 100)]
+    out = list(model.recommend_pipelined(
+        ((b, likes[b]) for b in batches), N=7))
+    assert len(out) == 2
+    for b, (ids, scores) in zip(batches, out):
+        ref_ids, ref_scores = model.recommend(b, likes[b], N=7)
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-5)

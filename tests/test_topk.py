@@ -105,3 +105,30 @@ def test_topk_1d_query():
     ids2, scores2 = topk(items, query.reshape(1, -1), 5)
     np.testing.assert_array_equal(ids, ids2)
     np.testing.assert_array_equal(scores, scores2)
+
+
+def test_topk_async_matches_topk():
+    from implicit_tpu.ops.topk import topk_async
+
+    rng = np.random.RandomState(11)
+    items = rng.rand(900, 16).astype(np.float32)
+    queries = rng.rand(37, 16).astype(np.float32)
+    futures = [topk_async(items, queries, k) for k in (5, 2000)]
+    for k, fut in zip((5, 2000), futures):
+        ids, scores = topk(items, queries, k)
+        a_ids, a_scores = fut.result()
+        np.testing.assert_array_equal(ids, a_ids)
+        np.testing.assert_array_equal(scores, a_scores)
+        # result() is idempotent
+        b_ids, b_scores = fut.result()
+        np.testing.assert_array_equal(ids, b_ids)
+
+
+def test_topk_async_k_zero():
+    from implicit_tpu.ops.topk import topk_async
+
+    rng = np.random.RandomState(3)
+    items = rng.rand(50, 8).astype(np.float32)
+    queries = rng.rand(4, 8).astype(np.float32)
+    ids, scores = topk_async(items, queries, 0).result()
+    assert ids.shape == (4, 0) and scores.shape == (4, 0)
