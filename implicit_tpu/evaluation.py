@@ -156,7 +156,6 @@ def ranking_metrics_at_k(
     # chunks internally by device memory, so big batches are safe); the
     # reference uses 1000 (evaluation.pyx:66) but pays no dispatch latency
     batch_size = 8192
-    start_idx = 0
 
     progress = tqdm(total=len(to_generate), disable=not show_progress)
 
@@ -165,11 +164,22 @@ def ranking_metrics_at_k(
     # recommend batch carries a very long test row
     sub = 1024
 
-    while start_idx < len(to_generate):
-        batch = to_generate[start_idx : start_idx + batch_size]
-        all_ids, _ = model.recommend(batch, train_user_items[batch], N=K)
-        start_idx += batch_size
+    batches = [
+        to_generate[i : i + batch_size]
+        for i in range(0, len(to_generate), batch_size)
+    ]
+    if hasattr(model, "recommend_pipelined"):
+        # MF models stream: the host metric math of one batch overlaps the
+        # device compute / transport of the next
+        stream = model.recommend_pipelined(
+            ((b, train_user_items[b]) for b in batches), N=K, max_in_flight=2
+        )
+    else:
+        stream = (
+            model.recommend(b, train_user_items[b], N=K) for b in batches
+        )
 
+    for batch, (all_ids, _) in zip(batches, stream):
         for s0 in range(0, len(batch), sub):
             sb = batch[s0 : s0 + sub]
             ids = all_ids[s0 : s0 + sub]

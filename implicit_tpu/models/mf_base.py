@@ -337,6 +337,20 @@ class MatrixFactorizationBase(RecommenderBase):
         """
         from collections import deque
 
+        if type(self).recommend is not MatrixFactorizationBase.recommend:
+            # a subclass with its own recommend (e.g. custom scoring) must
+            # not be silently bypassed by the async MF dispatch; degrade to
+            # the per-batch synchronous path, same results, no pipelining
+            for entry in batches:
+                userid, user_items = entry if isinstance(entry, tuple) else (entry, None)
+                yield self.recommend(
+                    userid, user_items, N=N,
+                    filter_already_liked_items=filter_already_liked_items,
+                    filter_items=filter_items,
+                    recalculate_user=recalculate_user, items=items,
+                )
+            return
+
         window = deque()
         for entry in batches:
             if isinstance(entry, tuple):

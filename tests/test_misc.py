@@ -127,3 +127,32 @@ def test_long_row_solve_finite_without_regularization():
     Y = jnp.asarray(Yh)
     X = als_ops.solve_side(X, Y, buckets, reg=0.0, use_pallas=True)
     assert np.isfinite(np.asarray(X)).all()
+
+
+def test_recommend_pipelined_respects_recommend_override():
+    """A subclass with its own recommend must not be bypassed by the
+    pipelined MF dispatch (e.g. ANN-style rescoring overrides)."""
+    import numpy as np
+
+    from implicit_tpu.models.mf_base import MatrixFactorizationBase
+
+    class Custom(MatrixFactorizationBase):
+        def fit(self, user_items, show_progress=True, callback=None):
+            pass
+
+        def save(self, fileobj_or_path):
+            pass
+
+        def recommend(self, userid, user_items, N=10, **kwargs):
+            n = 1 if np.isscalar(userid) else len(userid)
+            ids = np.full((n, N), 7, dtype=np.int32)
+            return ids, np.zeros((n, N), dtype=np.float32)
+
+    model = Custom()
+    model.user_factors = np.ones((4, 2), dtype=np.float32)
+    model.item_factors = np.ones((9, 2), dtype=np.float32)
+    out = list(model.recommend_pipelined([np.arange(2), np.arange(2, 4)],
+                                         N=3, filter_already_liked_items=False))
+    assert len(out) == 2
+    for ids, _ in out:
+        assert (ids == 7).all()
