@@ -137,10 +137,17 @@ def export_recommendations(output_filename, model_name="als", synthetic=False, m
     if hasattr(model, "approximate_similar_items"):
         model.approximate_similar_items = False
 
+    chunks = [np.arange(s, min(s + BATCH, len(users)))
+              for s in range(0, len(users), BATCH)]
     with open(output_filename, "w", encoding="utf8") as out:
-        for start in tqdm(range(0, len(users), BATCH)):
-            chunk = np.arange(start, min(start + BATCH, len(users)))
-            ids, scores = model.recommend(chunk, user_plays[chunk])
+        if hasattr(model, "recommend_pipelined"):
+            # streaming serving: TSV writing of one chunk overlaps the
+            # device compute + transfers of the next
+            stream = model.recommend_pipelined(
+                ((c, user_plays[c]) for c in chunks))
+        else:
+            stream = (model.recommend(c, user_plays[c]) for c in chunks)
+        for chunk, (ids, scores) in zip(tqdm(chunks), stream):
             write_batch(out, users[chunk], artists, ids, scores)
 
 
