@@ -123,10 +123,14 @@ def export_similar_artists(output_filename, model_name="als", synthetic=False, m
 
     by_popularity = np.argsort(-np.diff(plays.indptr))
 
+    chunks = [by_popularity[s : s + BATCH]
+              for s in range(0, len(by_popularity), BATCH)]
     with open(output_filename, "w", encoding="utf8") as out:
-        for start in tqdm(range(0, len(by_popularity), BATCH)):
-            chunk = by_popularity[start : start + BATCH]
-            ids, scores = model.similar_items(chunk, NEIGHBOURS)
+        if hasattr(model, "similar_items_pipelined"):
+            stream = model.similar_items_pipelined(chunks, NEIGHBOURS)
+        else:
+            stream = (model.similar_items(c, NEIGHBOURS) for c in chunks)
+        for chunk, (ids, scores) in zip(tqdm(chunks), stream):
             write_batch(out, artists[chunk], artists, ids, scores)
 
 

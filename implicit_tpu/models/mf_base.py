@@ -409,14 +409,15 @@ class MatrixFactorizationBase(RecommenderBase):
 
     # -- similarity lookups ------------------------------------------------------
 
-    def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset,
-                 which=None):
-        """Shared core of similar_users / similar_items.
+    def _similar_async(self, query_factor, query_norm, factors, norms, N,
+                       filter_ids, subset, which=None):
+        """Dispatch one similar_* batch; returns ``(TopkFuture, post_fn)``.
 
         Scores ``query_factor`` against ``factors`` normalized by ``norms``
-        (cosine against the candidates), optionally restricted to ``subset``,
-        then divides by the query's own norm. With a serving mesh and no
-        subset, ``which`` selects the cached mesh-sharded factor table.
+        (cosine against the candidates), optionally restricted to ``subset``.
+        ``post_fn`` divides by the query's own norm and remaps subset ids
+        once the future resolves. With a serving mesh and no subset,
+        ``which`` selects the cached mesh-sharded factor table.
         """
         mesh = self._serving_mesh()
         topk_kwargs = {}
@@ -429,7 +430,7 @@ class MatrixFactorizationBase(RecommenderBase):
             factors, norms, count = self._factors_on_mesh(which, mesh)
             topk_kwargs = dict(mesh=mesh, n_items=count)
 
-        ids, scores = topk(
+        future = topk_async(
             factors,
             query_factor,
             N,
@@ -439,19 +440,31 @@ class MatrixFactorizationBase(RecommenderBase):
             **topk_kwargs,
         )
 
-        if np.isscalar(query_norm):
-            ids, scores = ids[0], scores[0]
-            norm = query_norm
-        else:
-            norm = query_norm[:, None]
-        # -FLT_MAX padding entries stay sentinels (dividing them overflows)
-        np.divide(scores, norm, out=scores, where=ids >= 0)
+        def post(ids, scores):
+            if np.isscalar(query_norm):
+                ids, scores = ids[0], scores[0]
+                norm = query_norm
+            else:
+                norm = query_norm[:, None]
+            # -FLT_MAX padding entries stay sentinels (dividing them overflows)
+            np.divide(scores, norm, out=scores, where=ids >= 0)
 
-        if subset is not None:
-            # topk pads short result rows with id -1; keep the sentinel
-            # rather than letting it wrap to the subset's last element
-            ids = np.where(ids >= 0, subset[ids], -1)
-        return ids, scores
+            if subset is not None:
+                # topk pads short result rows with id -1; keep the sentinel
+                # rather than letting it wrap to the subset's last element
+                ids = np.where(ids >= 0, subset[ids], -1)
+            return ids, scores
+
+        return future, post
+
+    def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset,
+                 which=None):
+        """Shared core of similar_users / similar_items."""
+        future, post = self._similar_async(
+            query_factor, query_norm, factors, norms, N, filter_ids, subset,
+            which=which,
+        )
+        return post(*future.result())
 
     def similar_users(self, userid, N=10, filter_users=None, users=None):
         norms = self.user_norms
@@ -503,6 +516,52 @@ class MatrixFactorizationBase(RecommenderBase):
                              which="item")
 
     similar_items.__doc__ = RecommenderBase.similar_items.__doc__
+
+    def similar_items_pipelined(self, batches, N=10, filter_items=None,
+                                items=None, max_in_flight=3):
+        """Streaming batched similar_items: generator over itemid batches,
+        keeping up to ``max_in_flight`` batches dispatched at once and
+        yielding each batch's ``(ids, scores)`` in input order — results
+        identical to per-batch :meth:`similar_items`, with host/transport
+        legs overlapped (see :meth:`recommend_pipelined`). The bulk
+        similar-items export over a whole catalog (the reference's
+        examples/lastfm.py workload) is the intended consumer.
+        ``recalculate_item`` is not supported here; use the synchronous call.
+        """
+        from collections import deque
+
+        if type(self).similar_items is not MatrixFactorizationBase.similar_items:
+            for itemid in batches:
+                yield self.similar_items(itemid, N=N, filter_items=filter_items,
+                                         items=items)
+            return
+
+        sub = None
+        if items is not None:
+            if filter_items:
+                raise ValueError("Can't set both items and filter_items in similar_items call")
+            sub = _validate_subset(np.array(items), self.item_factors.shape[0],
+                                   "itemids")
+        norms = self.item_norms
+
+        window = deque()
+        for itemid in batches:
+            factor = self._item_factor(itemid, None, False)
+            norm = norms[itemid]
+            if sub is not None or self._serving_mesh() is not None:
+                factors = self.item_factors  # _similar swaps in the mesh table
+            else:
+                factors = self._item_factors_on_device()
+            future, post = self._similar_async(
+                factor, norm, factors, norms, N, filter_items, sub, which="item"
+            )
+            window.append((future, post))
+            if len(window) >= max_in_flight:
+                f, p = window.popleft()
+                yield p(*f.result())
+        while window:
+            f, p = window.popleft()
+            yield p(*f.result())
 
     # -- device conversion shims ---------------------------------------------
 

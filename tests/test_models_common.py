@@ -462,3 +462,28 @@ def test_recommend_pipelined(model_factory):
     for b, (ids, scores) in zip(batches, results):
         ref_ids, _ = model.recommend(b, user_items[b], N=3, items=sub)
         assert_array_equal(ids, ref_ids)
+
+
+def test_similar_items_pipelined(model_factory):
+    user_items = get_checkerboard(50)
+
+    model = model_factory()
+    model.fit(user_items, show_progress=False)
+    if not hasattr(model, "similar_items_pipelined"):
+        pytest.skip("model has no MF serving base")
+
+    batches = [np.arange(0, 25), np.arange(25, 50)]
+    results = list(model.similar_items_pipelined(batches, N=4, max_in_flight=2))
+    assert len(results) == len(batches)
+    for b, (ids, scores) in zip(batches, results):
+        ref_ids, ref_scores = model.similar_items(b, N=4)
+        assert_array_equal(ids, ref_ids)
+        assert np.allclose(scores, ref_scores, atol=1e-5)
+
+    # items= subsetting and filter_items apply stream-wide
+    sub = np.arange(0, 30)
+    for kwargs in (dict(items=sub), dict(filter_items=[1, 2])):
+        results = list(model.similar_items_pipelined(batches, N=4, **kwargs))
+        for b, (ids, _) in zip(batches, results):
+            ref_ids, _ = model.similar_items(b, N=4, **kwargs)
+            assert_array_equal(ids, ref_ids)
