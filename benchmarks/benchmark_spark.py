@@ -1,0 +1,127 @@
+"""ALS throughput comparison against Spark MLlib.
+
+Counterpart to the reference's Spark benchmark
+(/root/reference/benchmarks/benchmark_spark.py): it measured Spark MLlib
+ALS at 164.2 s/iter (last.fm-360k, f=256) and 54.0 s/iter (ML-20M, f=256)
+vs its own CPU/GPU builds.
+
+This harness is environment-aware:
+
+- With pyspark importable (and a JVM available), it runs the live
+  head-to-head: implicit_tpu ALS vs ``pyspark.ml.recommendation.ALS`` on
+  the same synthetic interaction matrix, reporting seconds per training
+  iteration for each.
+- Without pyspark (this development environment: no JVM, zero egress), it
+  still measures implicit_tpu on the published benchmark shapes and
+  reports the ratio against the reference's *published* Spark numbers,
+  labelled as such.
+
+Either way it prints one JSON document, no plotting dependencies.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# published Spark MLlib s/iter from the reference benchmark record
+# (/root/reference/benchmarks/README.md:23-24,37-47), i7-7820X, f=256
+PUBLISHED_SPARK = {
+    "lastfm360k_f256": 164.2,
+    "ml20m_f256": 54.0,
+}
+
+SHAPES = {
+    "lastfm360k_f256": dict(users=360_000, items=160_000, nnz=17_500_000),
+    "ml20m_f256": dict(users=138_000, items=27_000, nnz=12_000_000),
+}
+
+
+def measure_tpu(users, items, nnz, factors, iterations):
+    """implicit_tpu ALS seconds/iteration on a synthetic matrix (see bench.py:
+    iteration cost depends on shape statistics, not cell values)."""
+    import jax.numpy as jnp
+
+    from implicit_tpu.datasets.synthetic import generate_synthetic
+    from implicit_tpu.ops import als as als_ops
+    from implicit_tpu.sparse import BucketedCSR
+
+    Cui = generate_synthetic(users, items, nnz, seed=0)
+    ub = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    ib = BucketedCSR(Cui.T.tocsr(), target_entries=1 << 24,
+                     max_chunk_rows=65536).to_device()
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.random((users, factors), dtype=np.float32) * 0.01)
+    Y = jnp.asarray(rng.random((items, factors), dtype=np.float32) * 0.01)
+
+    def run():
+        t0 = time.time()
+        Xo, Yo = als_ops.fit(X + 0.0, Y + 0.0, ub, ib, 0.01,
+                             iterations=iterations, compute_dtype="bfloat16")
+        float(jnp.sum(Xo))
+        return (time.time() - t0) / iterations
+
+    run()  # compile
+    return min(run() for _ in range(2)), Cui
+
+
+def measure_spark(Cui, factors, iterations):
+    """Live Spark MLlib ALS s/iter, or None when pyspark can't run here."""
+    try:
+        from pyspark.sql import SparkSession
+    except ImportError:
+        return None
+    try:
+        from pyspark.ml.recommendation import ALS
+
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("implicit_tpu_benchmark")
+                 .config("spark.driver.memory", "8G").getOrCreate())
+        coo = Cui.tocoo()
+        df = spark.createDataFrame(
+            zip(coo.row.tolist(), coo.col.tolist(), coo.data.tolist()),
+            schema=["user", "item", "rating"],
+        )
+        als = ALS(rank=factors, maxIter=iterations, implicitPrefs=True,
+                  userCol="user", itemCol="item", ratingCol="rating")
+        t0 = time.time()
+        als.fit(df)
+        elapsed = (time.time() - t0) / iterations
+        spark.stop()
+        return elapsed
+    except Exception as exc:  # no JVM / misconfigured cluster
+        print(f"# pyspark present but unable to run: {exc!r}")
+        return None
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--factors", type=int, default=256)
+    parser.add_argument("--iterations", type=int, default=5)
+    parser.add_argument("--shapes", nargs="*", default=list(SHAPES))
+    args = parser.parse_args()
+
+    out = {}
+    for name in args.shapes:
+        shape = SHAPES[name]
+        tpu_s, Cui = measure_tpu(factors=args.factors,
+                                 iterations=args.iterations, **shape)
+        spark_s = measure_spark(Cui, args.factors, args.iterations)
+        row = {"implicit_tpu_s_per_iter": round(tpu_s, 4)}
+        if spark_s is not None:
+            row["spark_s_per_iter"] = round(spark_s, 2)
+            row["speedup_vs_spark_measured"] = round(spark_s / tpu_s, 1)
+        else:
+            pub = PUBLISHED_SPARK.get(name)
+            if pub is not None:
+                row["spark_s_per_iter_published"] = pub
+                row["speedup_vs_spark_published"] = round(pub / tpu_s, 1)
+            row["note"] = ("pyspark unavailable here; ratio uses the "
+                           "reference's published Spark measurement")
+        out[name] = row
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
