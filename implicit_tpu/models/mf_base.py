@@ -485,6 +485,45 @@ class MatrixFactorizationBase(RecommenderBase):
 
     similar_users.__doc__ = RecommenderBase.similar_users.__doc__
 
+    def similar_users_pipelined(self, batches, N=10, filter_users=None,
+                                users=None, max_in_flight=3):
+        """Streaming batched similar_users: the user-side twin of
+        :meth:`similar_items_pipelined` — a generator over userid batches,
+        bounded in-flight window, results identical to per-batch calls."""
+        from collections import deque
+
+        if type(self).similar_users is not MatrixFactorizationBase.similar_users:
+            for userid in batches:
+                yield self.similar_users(userid, N=N, filter_users=filter_users,
+                                         users=users)
+            return
+
+        sub = None
+        if users is not None:
+            if filter_users:
+                raise ValueError("Can't set both users and filter_users in similar_users call")
+            sub = _validate_subset(np.array(users), self.user_factors.shape[0],
+                                   "userids")
+        norms = self.user_norms
+
+        window = deque()
+        for userid in batches:
+            if sub is not None or self._serving_mesh() is not None:
+                factors = self.user_factors  # _similar swaps in the mesh table
+            else:
+                factors = self._user_factors_on_device()
+            future, post = self._similar_async(
+                self.user_factors[userid], norms[userid], factors, norms, N,
+                filter_users, sub, which="user"
+            )
+            window.append((future, post))
+            if len(window) >= max_in_flight:
+                f, p = window.popleft()
+                yield p(*f.result())
+        while window:
+            f, p = window.popleft()
+            yield p(*f.result())
+
     def similar_items(
         self, itemid, N=10, recalculate_item=False, item_users=None, filter_items=None, items=None
     ):

@@ -487,3 +487,29 @@ def test_similar_items_pipelined(model_factory):
         for b, (ids, _) in zip(batches, results):
             ref_ids, _ = model.similar_items(b, N=4, **kwargs)
             assert_array_equal(ids, ref_ids)
+
+
+def test_similar_users_pipelined(model_factory):
+    user_items = get_checkerboard(50)
+
+    model = model_factory()
+    model.fit(user_items, show_progress=False)
+    if not hasattr(model, "similar_users_pipelined"):
+        pytest.skip("model has no MF serving base")
+    try:
+        model.similar_users(0, N=2)
+    except NotImplementedError:
+        pytest.skip("similar_users not supported by this model")
+
+    batches = [np.arange(0, 30), np.arange(30, 50)]
+    results = list(model.similar_users_pipelined(batches, N=4))
+    for b, (ids, scores) in zip(batches, results):
+        ref_ids, ref_scores = model.similar_users(b, N=4)
+        assert_array_equal(ids, ref_ids)
+        assert np.allclose(scores, ref_scores, atol=1e-5)
+
+    sub = np.arange(0, 35)
+    results = list(model.similar_users_pipelined(batches, N=4, users=sub))
+    for b, (ids, _) in zip(batches, results):
+        ref_ids, _ = model.similar_users(b, N=4, users=sub)
+        assert_array_equal(ids, ref_ids)
