@@ -67,32 +67,39 @@ def measure_tpu(users, items, nnz, factors, iterations):
 
 
 def measure_spark(Cui, factors, iterations):
-    """Live Spark MLlib ALS s/iter, or None when pyspark can't run here."""
+    """Live Spark MLlib ALS s/iter; (None, reason) when it can't run here."""
     try:
         from pyspark.sql import SparkSession
     except ImportError:
-        return None
+        return None, "pyspark unavailable here"
     try:
         from pyspark.ml.recommendation import ALS
 
         spark = (SparkSession.builder.master("local[*]")
                  .appName("implicit_tpu_benchmark")
                  .config("spark.driver.memory", "8G").getOrCreate())
+    except Exception as exc:  # no JVM / misconfigured cluster
+        return None, f"pyspark present but session failed: {exc!r:.200}"
+    try:
+        import pandas as pd
+
         coo = Cui.tocoo()
-        df = spark.createDataFrame(
-            zip(coo.row.tolist(), coo.col.tolist(), coo.data.tolist()),
-            schema=["user", "item", "rating"],
-        )
+        # arrow-backed pandas ingestion: per-tuple python objects for tens
+        # of millions of interactions would exhaust the driver before the
+        # timed region starts
+        df = spark.createDataFrame(pd.DataFrame(
+            {"user": coo.row.astype(np.int32),
+             "item": coo.col.astype(np.int32),
+             "rating": coo.data.astype(np.float32)}))
         als = ALS(rank=factors, maxIter=iterations, implicitPrefs=True,
                   userCol="user", itemCol="item", ratingCol="rating")
         t0 = time.time()
         als.fit(df)
-        elapsed = (time.time() - t0) / iterations
+        return (time.time() - t0) / iterations, None
+    except Exception as exc:
+        return None, f"pyspark present but the run failed: {exc!r:.200}"
+    finally:
         spark.stop()
-        return elapsed
-    except Exception as exc:  # no JVM / misconfigured cluster
-        print(f"# pyspark present but unable to run: {exc!r}")
-        return None
 
 
 def main():
@@ -107,18 +114,21 @@ def main():
         shape = SHAPES[name]
         tpu_s, Cui = measure_tpu(factors=args.factors,
                                  iterations=args.iterations, **shape)
-        spark_s = measure_spark(Cui, args.factors, args.iterations)
+        spark_s, reason = measure_spark(Cui, args.factors, args.iterations)
         row = {"implicit_tpu_s_per_iter": round(tpu_s, 4)}
         if spark_s is not None:
             row["spark_s_per_iter"] = round(spark_s, 2)
             row["speedup_vs_spark_measured"] = round(spark_s / tpu_s, 1)
         else:
             pub = PUBLISHED_SPARK.get(name)
-            if pub is not None:
-                row["spark_s_per_iter_published"] = pub
+            # the published Spark numbers are f=256 measurements; a ratio
+            # against a different --factors run would be mislabeled
+            if pub is not None and args.factors == 256:
+                row["spark_s_per_iter_published_f256"] = pub
                 row["speedup_vs_spark_published"] = round(pub / tpu_s, 1)
-            row["note"] = ("pyspark unavailable here; ratio uses the "
-                           "reference's published Spark measurement")
+            row["note"] = (f"{reason}; published-ratio fallback applies "
+                           "only at --factors 256 (the published Spark "
+                           "measurement's configuration)")
         out[name] = row
     print(json.dumps(out, indent=2))
 

@@ -29,6 +29,23 @@ def _validate_subset(subset, total, what):
     return subset
 
 
+def _pipeline(dispatches, max_in_flight):
+    """Drains an iterator of ``(future, post_fn)`` pairs through a bounded
+    in-flight window, yielding ``post_fn(*future.result())`` in input order
+    — the shared engine of every ``*_pipelined`` serving generator."""
+    from collections import deque
+
+    window = deque()
+    for future, post in dispatches:
+        window.append((future, post))
+        if len(window) >= max_in_flight:
+            f, p = window.popleft()
+            yield p(*f.result())
+    while window:
+        f, p = window.popleft()
+        yield p(*f.result())
+
+
 def _filter_items_from_sparse_matrix(items, query_items):
     """Remaps ids in query_items down to their positions in the sorted items filter."""
     filter_query_items = query_items.tocoo()
@@ -210,31 +227,14 @@ class MatrixFactorizationBase(RecommenderBase):
 
     # -- recommend -------------------------------------------------------------
 
-    def _recommend_async(
-        self,
-        userid,
-        user_items,
-        N,
-        filter_already_liked_items,
-        filter_items,
-        recalculate_user,
-        items,
-    ):
-        """Dispatch one recommend batch; returns ``(TopkFuture, post_fn)``.
+    def _prep_recommend_items(self, items, filter_items, N, persistent=False):
+        """Validates ``items=`` and resolves the scoring table.
 
-        All host prep and device enqueueing happens here; ``post_fn(ids,
-        scores)`` applies the scalar squeeze and items= remap after the
-        future resolves. recommend == ``post_fn(*future.result())``.
+        Returns ``(N, items, item_factors, topk_kwargs)``. With
+        ``persistent=True`` (streaming callers) a subset table is uploaded /
+        mesh-sharded once so every batch reuses the device copy; the
+        default keeps the sync path's one-shot behavior.
         """
-        if filter_already_liked_items or recalculate_user:
-            if not isinstance(user_items, csr_matrix):
-                raise ValueError("user_items needs to be a CSR sparse matrix")
-            user_count = 1 if np.isscalar(userid) else len(userid)
-            if user_items.shape[0] != user_count:
-                raise ValueError("user_items must contain 1 row for every user in userids")
-
-        user = self._user_factor(userid, user_items, recalculate_user)
-
         mesh = self._serving_mesh()
         topk_kwargs = {}
         if items is not None:
@@ -245,8 +245,17 @@ class MatrixFactorizationBase(RecommenderBase):
             items.sort()
             item_factors = self.item_factors[items]
             if mesh is not None:
-                # one-off subset: topk pads+shards it per call
-                topk_kwargs = dict(mesh=mesh)
+                if persistent:
+                    item_factors, _, count = shard_items_for_topk(
+                        item_factors, None, mesh)
+                    topk_kwargs = dict(mesh=mesh, n_items=count)
+                else:
+                    # one-off subset: topk pads+shards it per call
+                    topk_kwargs = dict(mesh=mesh)
+            elif persistent:
+                import jax.numpy as jnp
+
+                item_factors = jnp.asarray(item_factors, dtype=jnp.float32)
         elif mesh is not None:
             # multi-chip serving: cached item-sharded table, ICI merge
             item_factors, _, count = self._factors_on_mesh("item", mesh)
@@ -254,6 +263,39 @@ class MatrixFactorizationBase(RecommenderBase):
         else:
             # the full-catalog path serves from the cached device copy
             item_factors = self._item_factors_on_device()
+        return N, items, item_factors, topk_kwargs
+
+    def _recommend_async(
+        self,
+        userid,
+        user_items,
+        N,
+        filter_already_liked_items,
+        filter_items,
+        recalculate_user,
+        items,
+        prep=None,
+    ):
+        """Dispatch one recommend batch; returns ``(TopkFuture, post_fn)``.
+
+        All host prep and device enqueueing happens here; ``post_fn(ids,
+        scores)`` applies the scalar squeeze and items= remap after the
+        future resolves. recommend == ``post_fn(*future.result())``.
+        ``prep`` carries a hoisted ``_prep_recommend_items`` result
+        (streaming callers prep once for the whole stream).
+        """
+        if filter_already_liked_items or recalculate_user:
+            if not isinstance(user_items, csr_matrix):
+                raise ValueError("user_items needs to be a CSR sparse matrix")
+            user_count = 1 if np.isscalar(userid) else len(userid)
+            if user_items.shape[0] != user_count:
+                raise ValueError("user_items must contain 1 row for every user in userids")
+
+        user = self._user_factor(userid, user_items, recalculate_user)
+
+        if prep is None:
+            prep = self._prep_recommend_items(items, filter_items, N)
+        N, items, item_factors, topk_kwargs = prep
 
         filter_query_items = None
         if filter_already_liked_items:
@@ -335,39 +377,36 @@ class MatrixFactorizationBase(RecommenderBase):
         ------
         (ids, scores) per input batch, in order.
         """
-        from collections import deque
-
         if type(self).recommend is not MatrixFactorizationBase.recommend:
             # a subclass with its own recommend (e.g. custom scoring) must
             # not be silently bypassed by the async MF dispatch; degrade to
             # the per-batch synchronous path, same results, no pipelining
+            def fallback():
+                for entry in batches:
+                    userid, user_items = entry if isinstance(entry, tuple) else (entry, None)
+                    yield self.recommend(
+                        userid, user_items, N=N,
+                        filter_already_liked_items=filter_already_liked_items,
+                        filter_items=filter_items,
+                        recalculate_user=recalculate_user, items=items,
+                    )
+
+            return fallback()
+
+        # argument validation + subset upload happen HERE, eagerly, not on
+        # first next(): bad arguments raise at call time like recommend, and
+        # an items= table crosses the transport once for the whole stream
+        prep = self._prep_recommend_items(items, filter_items, N, persistent=True)
+
+        def dispatches():
             for entry in batches:
                 userid, user_items = entry if isinstance(entry, tuple) else (entry, None)
-                yield self.recommend(
-                    userid, user_items, N=N,
-                    filter_already_liked_items=filter_already_liked_items,
-                    filter_items=filter_items,
-                    recalculate_user=recalculate_user, items=items,
+                yield self._recommend_async(
+                    userid, user_items, N, filter_already_liked_items,
+                    filter_items, recalculate_user, items, prep=prep,
                 )
-            return
 
-        window = deque()
-        for entry in batches:
-            if isinstance(entry, tuple):
-                userid, user_items = entry
-            else:
-                userid, user_items = entry, None
-            future, post = self._recommend_async(
-                userid, user_items, N, filter_already_liked_items,
-                filter_items, recalculate_user, items,
-            )
-            window.append((future, post))
-            if len(window) >= max_in_flight:
-                f, p = window.popleft()
-                yield p(*f.result())
-        while window:
-            f, p = window.popleft()
-            yield p(*f.result())
+        return _pipeline(dispatches(), max_in_flight)
 
     def recommend_all(
         self,
@@ -409,15 +448,13 @@ class MatrixFactorizationBase(RecommenderBase):
 
     # -- similarity lookups ------------------------------------------------------
 
-    def _similar_async(self, query_factor, query_norm, factors, norms, N,
-                       filter_ids, subset, which=None):
-        """Dispatch one similar_* batch; returns ``(TopkFuture, post_fn)``.
+    def _prep_similar_table(self, factors, norms, subset, which, persistent=False):
+        """Resolves the candidate table for similar_* scoring.
 
-        Scores ``query_factor`` against ``factors`` normalized by ``norms``
-        (cosine against the candidates), optionally restricted to ``subset``.
-        ``post_fn`` divides by the query's own norm and remaps subset ids
-        once the future resolves. With a serving mesh and no subset,
-        ``which`` selects the cached mesh-sharded factor table.
+        Returns ``(factors, norms, topk_kwargs)``: the subset gather, the
+        mesh table swap, or the passed-through device table. With
+        ``persistent=True`` (streaming callers) a subset is uploaded /
+        mesh-sharded once so every batch reuses the device copy.
         """
         mesh = self._serving_mesh()
         topk_kwargs = {}
@@ -425,10 +462,37 @@ class MatrixFactorizationBase(RecommenderBase):
             factors = factors[subset]
             norms = norms[subset]
             if mesh is not None:
-                topk_kwargs = dict(mesh=mesh)
+                if persistent:
+                    factors, norms, count = shard_items_for_topk(
+                        np.asarray(factors), norms, mesh)
+                    topk_kwargs = dict(mesh=mesh, n_items=count)
+                else:
+                    topk_kwargs = dict(mesh=mesh)
+            elif persistent:
+                import jax.numpy as jnp
+
+                factors = jnp.asarray(np.asarray(factors), dtype=jnp.float32)
+                norms = jnp.asarray(np.asarray(norms), dtype=jnp.float32)
         elif mesh is not None and which is not None:
             factors, norms, count = self._factors_on_mesh(which, mesh)
             topk_kwargs = dict(mesh=mesh, n_items=count)
+        return factors, norms, topk_kwargs
+
+    def _similar_async(self, query_factor, query_norm, factors, norms, N,
+                       filter_ids, subset, which=None, prep=None):
+        """Dispatch one similar_* batch; returns ``(TopkFuture, post_fn)``.
+
+        Scores ``query_factor`` against ``factors`` normalized by ``norms``
+        (cosine against the candidates), optionally restricted to ``subset``.
+        ``post_fn`` divides by the query's own norm and remaps subset ids
+        once the future resolves. With a serving mesh and no subset,
+        ``which`` selects the cached mesh-sharded factor table. ``prep``
+        carries a hoisted ``_prep_similar_table`` result (streaming callers
+        prep once for the whole stream).
+        """
+        if prep is None:
+            prep = self._prep_similar_table(factors, norms, subset, which)
+        factors, norms, topk_kwargs = prep
 
         future = topk_async(
             factors,
@@ -490,14 +554,15 @@ class MatrixFactorizationBase(RecommenderBase):
         """Streaming batched similar_users: the user-side twin of
         :meth:`similar_items_pipelined` — a generator over userid batches,
         bounded in-flight window, results identical to per-batch calls."""
-        from collections import deque
-
         if type(self).similar_users is not MatrixFactorizationBase.similar_users:
-            for userid in batches:
-                yield self.similar_users(userid, N=N, filter_users=filter_users,
-                                         users=users)
-            return
+            def fallback():
+                for userid in batches:
+                    yield self.similar_users(userid, N=N, filter_users=filter_users,
+                                             users=users)
 
+            return fallback()
+
+        # eager validation + one-time table prep (see recommend_pipelined)
         sub = None
         if users is not None:
             if filter_users:
@@ -505,24 +570,20 @@ class MatrixFactorizationBase(RecommenderBase):
             sub = _validate_subset(np.array(users), self.user_factors.shape[0],
                                    "userids")
         norms = self.user_norms
+        if sub is not None or self._serving_mesh() is not None:
+            table = self.user_factors  # prep swaps in the subset / mesh table
+        else:
+            table = self._user_factors_on_device()
+        prep = self._prep_similar_table(table, norms, sub, "user", persistent=True)
 
-        window = deque()
-        for userid in batches:
-            if sub is not None or self._serving_mesh() is not None:
-                factors = self.user_factors  # _similar swaps in the mesh table
-            else:
-                factors = self._user_factors_on_device()
-            future, post = self._similar_async(
-                self.user_factors[userid], norms[userid], factors, norms, N,
-                filter_users, sub, which="user"
-            )
-            window.append((future, post))
-            if len(window) >= max_in_flight:
-                f, p = window.popleft()
-                yield p(*f.result())
-        while window:
-            f, p = window.popleft()
-            yield p(*f.result())
+        def dispatches():
+            for userid in batches:
+                yield self._similar_async(
+                    self.user_factors[userid], norms[userid], None, None, N,
+                    filter_users, sub, which="user", prep=prep,
+                )
+
+        return _pipeline(dispatches(), max_in_flight)
 
     def similar_items(
         self, itemid, N=10, recalculate_item=False, item_users=None, filter_items=None, items=None
@@ -567,14 +628,15 @@ class MatrixFactorizationBase(RecommenderBase):
         examples/lastfm.py workload) is the intended consumer.
         ``recalculate_item`` is not supported here; use the synchronous call.
         """
-        from collections import deque
-
         if type(self).similar_items is not MatrixFactorizationBase.similar_items:
-            for itemid in batches:
-                yield self.similar_items(itemid, N=N, filter_items=filter_items,
-                                         items=items)
-            return
+            def fallback():
+                for itemid in batches:
+                    yield self.similar_items(itemid, N=N, filter_items=filter_items,
+                                             items=items)
 
+            return fallback()
+
+        # eager validation + one-time table prep (see recommend_pipelined)
         sub = None
         if items is not None:
             if filter_items:
@@ -582,25 +644,21 @@ class MatrixFactorizationBase(RecommenderBase):
             sub = _validate_subset(np.array(items), self.item_factors.shape[0],
                                    "itemids")
         norms = self.item_norms
+        if sub is not None or self._serving_mesh() is not None:
+            table = self.item_factors  # prep swaps in the subset / mesh table
+        else:
+            table = self._item_factors_on_device()
+        prep = self._prep_similar_table(table, norms, sub, "item", persistent=True)
 
-        window = deque()
-        for itemid in batches:
-            factor = self._item_factor(itemid, None, False)
-            norm = norms[itemid]
-            if sub is not None or self._serving_mesh() is not None:
-                factors = self.item_factors  # _similar swaps in the mesh table
-            else:
-                factors = self._item_factors_on_device()
-            future, post = self._similar_async(
-                factor, norm, factors, norms, N, filter_items, sub, which="item"
-            )
-            window.append((future, post))
-            if len(window) >= max_in_flight:
-                f, p = window.popleft()
-                yield p(*f.result())
-        while window:
-            f, p = window.popleft()
-            yield p(*f.result())
+        def dispatches():
+            for itemid in batches:
+                factor = self._item_factor(itemid, None, False)
+                yield self._similar_async(
+                    factor, norms[itemid], None, None, N, filter_items, sub,
+                    which="item", prep=prep,
+                )
+
+        return _pipeline(dispatches(), max_in_flight)
 
     # -- device conversion shims ---------------------------------------------
 

@@ -156,3 +156,26 @@ def test_recommend_pipelined_respects_recommend_override():
     assert len(out) == 2
     for ids, _ in out:
         assert (ids == 7).all()
+
+
+def test_pipelined_validates_eagerly():
+    """Bad argument combinations raise at call time (like the sync methods),
+    not on first next() — and are never swallowed by an empty stream."""
+    import numpy as np
+    import pytest
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    model = AlternatingLeastSquares(factors=4)
+    rng = np.random.default_rng(0)
+    model.user_factors = rng.standard_normal((6, 4), dtype=np.float32)
+    model.item_factors = rng.standard_normal((9, 4), dtype=np.float32)
+
+    with pytest.raises(ValueError, match="items and filter_items"):
+        model.recommend_pipelined([], items=[1, 2], filter_items=[3])
+    with pytest.raises(IndexError):
+        model.recommend_pipelined([], items=[99])
+    with pytest.raises(ValueError, match="items and filter_items"):
+        model.similar_items_pipelined([], items=[1], filter_items=[2])
+    with pytest.raises(ValueError, match="users and filter_users"):
+        model.similar_users_pipelined([], users=[1], filter_users=[2])
