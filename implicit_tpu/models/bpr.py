@@ -80,6 +80,84 @@ def _verify_skip(indptr, itemids, table, u, cols, verify_neg, bisect_iters, mh):
 # Default chosen by measurement on the real TPU (see STATUS.md).
 BPR_SORT_SAMPLES = 0
 
+# unified factor buffer: stack X and Y into one (users+items, F) table so a
+# step issues ONE 3B-row gather and ONE 3B-row scatter-add (plus a combined
+# 2B bias gather/scatter) instead of 3 gathers + 5 scatters. Row traffic is
+# identical; the target is per-op issue/scheduling overhead, which the
+# round-2/3 measurements put at ~2x the raw gather/scatter floor.
+# Default pending measurement on the real TPU (see STATUS.md).
+BPR_FUSED_BUFFER = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "batch", "verify_neg", "bisect_iters", "mh",
+                     "n_users"),
+    donate_argnums=(0, 1),
+)
+def _bpr_epoch_fused(
+    W, yb, userids, itemids, indptr, table, key, lr, reg,
+    steps, batch, verify_neg, bisect_iters, mh, n_users,
+):
+    """One BPR epoch over the unified (users+items, factors) buffer ``W``.
+
+    Same samples, objective and update math as ``_bpr_epoch`` (the RNG draws
+    are identical), but user rows live at W[:n_users] and item rows at
+    W[n_users:], so the three per-step row gathers collapse into one and the
+    three row scatter-adds into one (scatter-add is order-insensitive up to
+    float rounding). See ``BPR_FUSED_BUFFER`` above.
+    """
+    n_samples = userids.shape[0]
+
+    def step(carry, subkey):
+        W, yb, correct, skipped = carry
+        k1, k2 = jax.random.split(subkey)
+        liked_idx = jax.random.randint(k1, (batch,), 0, n_samples)
+        disliked_idx = jax.random.randint(k2, (batch,), 0, n_samples)
+
+        u = userids[liked_idx]
+        liked = itemids[liked_idx]
+        disliked = itemids[disliked_idx]
+
+        skip = _verify_skip(indptr, itemids, table, u, disliked,
+                            verify_neg, bisect_iters, mh)
+
+        idx = jnp.concatenate([u, liked + n_users, disliked + n_users])
+        rows = W[idx]
+        xu = rows[:batch]
+        yl = rows[batch : 2 * batch]
+        yd = rows[2 * batch :]
+        bidx = jnp.concatenate([liked, disliked])
+        b = yb[bidx]
+        bl = b[:batch]
+        bd = b[batch:]
+
+        score = jnp.sum(xu * (yl - yd), axis=1) + bl - bd
+        z = 1.0 / (1.0 + jnp.exp(score))
+
+        keep = ~skip
+        correct = correct + jnp.sum((z < 0.5) & keep)
+        skipped = skipped + jnp.sum(skip)
+
+        scale = jnp.where(keep, lr, 0.0)[:, None]
+        upd = jnp.concatenate([
+            scale * (z[:, None] * (yl - yd) - reg * xu),
+            scale * (z[:, None] * xu - reg * yl),
+            scale * (-z[:, None] * xu - reg * yd),
+        ])
+        W = W.at[idx].add(upd)
+        bupd = jnp.concatenate([
+            scale[:, 0] * (z - reg * bl), scale[:, 0] * (-z - reg * bd)
+        ])
+        yb = yb.at[bidx].add(bupd)
+        return (W, yb, correct, skipped), None
+
+    subkeys = jax.random.split(key, steps)
+    (W, yb, correct, skipped), _ = jax.lax.scan(
+        step, (W, yb, jnp.int32(0), jnp.int32(0)), subkeys
+    )
+    return W, yb, correct, skipped
+
 
 @functools.partial(
     jax.jit,
@@ -385,10 +463,28 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                 mh = (pt.a_bits, pt.b_bits, pt.bucket_bits)
                 table = pt.table
 
+        mesh = None
+        if self.mesh is not None:
+            from ..parallel import create_mesh
+
+            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
+
         # device layout: (.., factors) blocks + separate item-bias vector —
-        # keeps rows lane-aligned at pow2 factor counts (see _bpr_epoch)
-        X = jnp.asarray(self.user_factors[:, : self.factors], dtype=jnp.float32)
-        Y = jnp.asarray(self.item_factors[:, : self.factors], dtype=jnp.float32)
+        # keeps rows lane-aligned at pow2 factor counts (see _bpr_epoch).
+        # Single-device default stacks both sides into one table (see
+        # BPR_FUSED_BUFFER); the sharded path keeps the split layout.
+        fused = BPR_FUSED_BUFFER and mesh is None
+        if fused:
+            W = jnp.asarray(
+                np.concatenate(
+                    [self.user_factors[:, : self.factors],
+                     self.item_factors[:, : self.factors]], axis=0
+                ),
+                dtype=jnp.float32,
+            )
+        else:
+            X = jnp.asarray(self.user_factors[:, : self.factors], dtype=jnp.float32)
+            Y = jnp.asarray(self.item_factors[:, : self.factors], dtype=jnp.float32)
         yb = jnp.asarray(self.item_factors[:, self.factors], dtype=jnp.float32)
         uids = jnp.asarray(userids)
         iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
@@ -396,12 +492,6 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         table_d = jnp.asarray(table)
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
-
-        mesh = None
-        if self.mesh is not None:
-            from ..parallel import create_mesh
-
-            mesh = create_mesh(self.mesh) if isinstance(self.mesh, int) else self.mesh
 
         log.debug("Running %i BPR training epochs", self.iterations)
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
@@ -413,6 +503,13 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                         X, Y, yb, uids, iids, indptr, table_d, subkey,
                         jnp.float32(self.learning_rate), jnp.float32(self.regularization),
                         steps, batch, self.verify_negative_samples, bisect_iters, mh, mesh,
+                    )
+                elif fused:
+                    W, yb, correct, skipped = _bpr_epoch_fused(
+                        W, yb, uids, iids, indptr, table_d, subkey,
+                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                        steps, batch, self.verify_negative_samples, bisect_iters, mh,
+                        users,
                     )
                 else:
                     X, Y, yb, correct, skipped = _bpr_epoch(
@@ -439,6 +536,10 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                     )
                 if callback:
                     callback(epoch, time.time() - s, correct, skipped)
+
+        if fused:
+            X = W[:users]
+            Y = W[users:]
 
         # reassemble the public factors+1 layout (bias as trailing column,
         # user bias column pinned to 1.0 — reference bpr.pyx layout)
