@@ -437,14 +437,18 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
     @property
     def YtY(self):
         if self._YtY is None:
-            Y = self.item_factors
+            # accumulate in f32 even for 16-bit factor storage: fp16-rounded
+            # partial sums can break the gram's positive-definiteness and NaN
+            # the recalculate/explain Cholesky (the reference GPU computes
+            # its gramian fp16-in/f32-acc for the same reason, als.cu:133-142)
+            Y = np.asarray(self.item_factors, dtype=np.float32)
             self._YtY = Y.T.dot(Y)
         return self._YtY
 
     @property
     def XtX(self):
         if self._XtX is None:
-            X = self.user_factors
+            X = np.asarray(self.user_factors, dtype=np.float32)
             self._XtX = X.T.dot(X)
         return self._XtX
 

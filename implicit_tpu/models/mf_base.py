@@ -99,18 +99,36 @@ class MatrixFactorizationBase(RecommenderBase):
         self._item_factors_dev = None
         self._drop_mesh_cache("item")
 
+    def _serving_dtype(self):
+        """Scoring dtype for the device factor tables.
+
+        Models with 16-bit factor storage (``dtype=float16``) serve in
+        bfloat16 — the TPU analogue of the reference GPU's fp16 serving
+        (fp16 GEMM with f32 accumulation, knn.cu:133-142): half the table
+        HBM/upload bytes and the MXU's fast input path, with scores still
+        accumulated and returned in float32. Everything else serves float32.
+        """
+        import jax.numpy as jnp
+
+        dt = getattr(self, "dtype", None)
+        if dt is not None and np.dtype(dt).itemsize == 2:
+            return jnp.bfloat16
+        return jnp.float32
+
     def _user_factors_on_device(self):
         if self._user_factors_dev is None:
             import jax.numpy as jnp
 
-            self._user_factors_dev = jnp.asarray(self._user_factors, dtype=jnp.float32)
+            self._user_factors_dev = jnp.asarray(
+                self._user_factors, dtype=self._serving_dtype())
         return self._user_factors_dev
 
     def _item_factors_on_device(self):
         if self._item_factors_dev is None:
             import jax.numpy as jnp
 
-            self._item_factors_dev = jnp.asarray(self._item_factors, dtype=jnp.float32)
+            self._item_factors_dev = jnp.asarray(
+                self._item_factors, dtype=self._serving_dtype())
         return self._item_factors_dev
 
     def __getstate__(self):
@@ -174,14 +192,20 @@ class MatrixFactorizationBase(RecommenderBase):
         if key not in cache:
             factors = self._user_factors if which == "user" else self._item_factors
             norms = self.user_norms if which == "user" else self.item_norms
-            cache[key] = shard_items_for_topk(factors, norms, mesh)
+            cache[key] = shard_items_for_topk(factors, norms, mesh,
+                                              dtype=self._serving_dtype())
         return cache[key]
 
     # -- norms ---------------------------------------------------------------
 
-    @staticmethod
-    def _norms_of(factors):
-        norms = np.linalg.norm(factors, axis=-1)
+    def _norms_of(self, factors):
+        # norms must describe the table the GEMM actually scores: for 16-bit
+        # serving, round through the serving dtype first (so cosine
+        # self-similarity stays exactly 1), then accumulate in f32
+        factors = np.asarray(factors)
+        if self._serving_dtype() != np.float32:
+            factors = factors.astype(self._serving_dtype())
+        norms = np.linalg.norm(factors.astype(np.float32), axis=-1)
         norms[norms == 0] = 1e-10  # avoid divide-by-zero in similarity scoring
         return norms
 
@@ -255,7 +279,7 @@ class MatrixFactorizationBase(RecommenderBase):
             elif persistent:
                 import jax.numpy as jnp
 
-                item_factors = jnp.asarray(item_factors, dtype=jnp.float32)
+                item_factors = jnp.asarray(item_factors, dtype=self._serving_dtype())
         elif mesh is not None:
             # multi-chip serving: cached item-sharded table, ICI merge
             item_factors, _, count = self._factors_on_mesh("item", mesh)
@@ -471,7 +495,7 @@ class MatrixFactorizationBase(RecommenderBase):
             elif persistent:
                 import jax.numpy as jnp
 
-                factors = jnp.asarray(np.asarray(factors), dtype=jnp.float32)
+                factors = jnp.asarray(np.asarray(factors), dtype=self._serving_dtype())
                 norms = jnp.asarray(np.asarray(norms), dtype=jnp.float32)
         elif mesh is not None and which is not None:
             factors, norms, count = self._factors_on_mesh(which, mesh)

@@ -99,8 +99,11 @@ def _topk_core_sharded(mesh, axis_name="d"):
         def shard_fn(items_l, queries_r, norms_l, qf_rows_r, qf_cols_r, fi_r):
             n_local = items_l.shape[0]
             offset = jax.lax.axis_index(axis_name) * n_local
-            scores = jnp.dot(queries_r, items_l.T,
-                             precision=jax.lax.Precision.HIGHEST,
+            # same dtype rule as _topk_core: bf16 tables score on the MXU's
+            # bf16 path with f32 accumulation, f32 tables at HIGHEST
+            scores = jnp.dot(queries_r.astype(items_l.dtype), items_l.T,
+                             precision=(jax.lax.Precision.HIGHEST
+                                        if items_l.dtype == jnp.float32 else None),
                              preferred_element_type=jnp.float32)
             if use_norms:
                 scores = scores / norms_l[None, :]
@@ -128,18 +131,20 @@ def _topk_core_sharded(mesh, axis_name="d"):
     return run
 
 
-def shard_items_for_topk(items, item_norms, mesh, axis_name="d"):
+def shard_items_for_topk(items, item_norms, mesh, axis_name="d", dtype=np.float32):
     """Pads and device-puts an item-factor table row-sharded over ``mesh``.
 
     Returns ``(items_dev, norms_dev, n_items)`` ready to pass to
     :func:`topk` with ``mesh=``/``n_items=``. Rows are padded to a multiple
     of the mesh size (padding is masked inside the sharded core); norms pad
     with 1. Callers serving repeatedly should cache the result — this is
-    one host->device upload of the whole table.
+    one host->device upload of the whole table. ``dtype`` is the scoring
+    dtype of the table (bfloat16 halves the upload and scores on the MXU's
+    bf16 path; see _topk_core).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    items = np.asarray(items, dtype=np.float32)
+    items = np.asarray(items, dtype=dtype)
     n_items = items.shape[0]
     n_sh = mesh.shape[axis_name]
     padded_n = -(-max(n_items, 1) // n_sh) * n_sh
@@ -159,8 +164,14 @@ def shard_items_for_topk(items, item_norms, mesh, axis_name="d"):
 
 @functools.partial(jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
 def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_norms, use_qf, use_if):
+    # queries follow the item table's dtype: a bf16 table (16-bit-storage
+    # models, the reference GPU's fp16 serving — knn.cu:133-142 SgemmEx
+    # fp16-in/f32-acc) runs the GEMM on the MXU's bf16 path with f32
+    # accumulation; f32 tables keep the highest-precision f32 contraction
     scores = jnp.dot(
-        queries, items.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        queries.astype(items.dtype), items.T,
+        precision=(jax.lax.Precision.HIGHEST if items.dtype == jnp.float32 else None),
+        preferred_element_type=jnp.float32,
     )
     if use_norms:
         scores = scores / norms[None, :]
@@ -295,7 +306,12 @@ def topk_async(items, query, k, item_norms=None, filter_query_items=None,
     scores_out = np.empty((q_rows, k_eff), dtype=out_dtype)
 
     if not use_mesh:
-        items_dev = jnp.asarray(items, dtype=jnp.float32)
+        # 16-bit float tables serve in bfloat16 (see _topk_core); everything
+        # else scores in float32
+        if getattr(items, "dtype", None) in (jnp.bfloat16, np.float16):
+            items_dev = jnp.asarray(items, dtype=jnp.bfloat16)
+        else:
+            items_dev = jnp.asarray(items, dtype=jnp.float32)
         norms_dev = (
             jnp.asarray(item_norms, dtype=jnp.float32)
             if item_norms is not None

@@ -53,6 +53,17 @@ def make_als_cholesky():
     return AlternatingLeastSquares(factors=32, regularization=0, use_cg=False, random_state=23)
 
 
+def make_als_f16():
+    # 16-bit factor storage: bf16 solver math + bf16 serving GEMM — the
+    # analogue of the reference mixin's fp16 GPU variant
+    # (/root/reference/tests/als_test.py:24-34)
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    return AlternatingLeastSquares(
+        factors=32, regularization=0, dtype=np.float16, random_state=23
+    )
+
+
 def make_bpr():
     from implicit_tpu.bpr import BayesianPersonalizedRanking
 
@@ -88,6 +99,7 @@ def make_bm25():
 MODEL_FACTORIES = {
     "als": make_als,
     "als_cholesky": make_als_cholesky,
+    "als_f16": make_als_f16,
     "bpr": make_bpr,
     "lmf": make_lmf,
     "cosine": make_cosine,

@@ -99,6 +99,12 @@ def test_recalculate_user(model_factory):
     except NotImplementedError:
         return
 
+    # stored factors round through the model's storage dtype while the
+    # recalculated vector is solved fresh in f32, so 16-bit-storage models
+    # (bf16 serving GEMM, ~8 mantissa bits) need a looser score gate — the
+    # id-level assertions stay exact
+    tol = 1e-3 if np.dtype(getattr(model, "dtype", np.float32)).itemsize > 2 else 2e-2
+
     for userid in range(item_users.shape[1]):
         ids, scores = model.recommend(userid, user_items[userid], N=1)
         assert len(ids) == 1
@@ -108,9 +114,9 @@ def test_recalculate_user(model_factory):
             userid=0, user_items=user_vector, N=1, recalculate_user=True
         )
         assert ids[0] == ids_from_liked[0]
-        assert scores[0] == pytest.approx(scores_from_liked[0], abs=1e-3)
+        assert scores[0] == pytest.approx(scores_from_liked[0], abs=tol)
         assert batch_ids[userid][0] == ids_from_liked[0]
-        assert batch_scores[userid][0] == pytest.approx(scores_from_liked[0], abs=1e-3)
+        assert batch_scores[userid][0] == pytest.approx(scores_from_liked[0], abs=tol)
 
 
 def test_evaluation(model_factory):
