@@ -244,3 +244,55 @@ def test_als_p10_parity_clustered():
     ref_p = ranking_metrics_at_k(ref, train, test, K=10, show_progress=False)["precision"]
     our_p = ranking_metrics_at_k(ours, train, test, K=10, show_progress=False)["precision"]
     assert abs(ref_p - our_p) < 0.02, (ref_p, our_p)
+
+
+def _load_reference_nn():
+    """Import the reference's nearest_neighbours module (pure Python apart
+    from the compiled scorer/all_pairs_knn, which the weighting functions
+    never touch) from its source tree."""
+    if "implicit.nearest_neighbours" in sys.modules:
+        return sys.modules["implicit.nearest_neighbours"]
+    _load_reference_als()  # builds the package skeleton + utils
+    nn_stub = types.ModuleType("implicit._nearest_neighbours")
+
+    def _not_built(*_a, **_k):
+        raise RuntimeError("compiled reference kernel not built in this environment")
+
+    nn_stub.NearestNeighboursScorer = _not_built
+    nn_stub.all_pairs_knn = _not_built
+    sys.modules["implicit._nearest_neighbours"] = nn_stub
+    rel = os.path.join(REFERENCE_ROOT, "implicit", "nearest_neighbours.py")
+    spec = importlib.util.spec_from_file_location("implicit.nearest_neighbours", rel)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules["implicit.nearest_neighbours"] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+@pytest.mark.parametrize("fn", ["bm25_weight", "tfidf_weight", "normalize"])
+def test_weighting_parity(fn):
+    """The KNN weighting transforms match the reference's own code
+    elementwise (/root/reference/implicit/nearest_neighbours.py:222-258)."""
+    import implicit_tpu.nearest_neighbours as ours_nn
+
+    ref_nn = _load_reference_nn()
+    likes = _random_likes(300, 120, density=0.05, seed=5).astype(np.float64)
+    ref_out = csr_matrix(getattr(ref_nn, fn)(likes.copy())).toarray()
+    our_out = csr_matrix(getattr(ours_nn, fn)(likes.copy())).toarray()
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-12, atol=1e-12)
+
+
+def test_augment_inner_product_parity():
+    """augment_inner_product_matrix matches the reference's transform
+    (/root/reference/implicit/utils.py:86) — same max-norm scaling and the
+    same extra-column geometry."""
+    from implicit_tpu.utils import augment_inner_product_matrix
+
+    _load_reference_als()
+    ref_fn = sys.modules["implicit.utils"].augment_inner_product_matrix
+    rng = np.random.default_rng(3)
+    factors = rng.standard_normal((50, 8)).astype(np.float32)
+    ref_norm, ref_aug = ref_fn(factors.copy())
+    our_norm, our_aug = augment_inner_product_matrix(factors.copy())
+    assert ref_norm == pytest.approx(our_norm)
+    np.testing.assert_allclose(our_aug, ref_aug, rtol=1e-6, atol=1e-7)
