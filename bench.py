@@ -205,12 +205,15 @@ def bench_serving_device(Cui, factors=128, batch=8192, k=10, reps=10):
     return batch * reps / min(run() for _ in range(3))
 
 
-def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10):
-    """End-to-end batched recommend throughput (users/s), own-likes filtered."""
+def bench_serving(Cui, factors=128, batch=1024, n_batches=8, k=10, dtype=np.float32):
+    """End-to-end batched recommend throughput (users/s), own-likes filtered.
+
+    ``dtype=np.float16`` serves through the bf16 device factor table (half
+    the table bytes, MXU bf16 GEMM with f32 accumulation)."""
     from implicit_tpu.als import AlternatingLeastSquares
 
     rng = np.random.default_rng(3)
-    model = AlternatingLeastSquares(factors=factors)
+    model = AlternatingLeastSquares(factors=factors, dtype=dtype)
     model.user_factors = rng.standard_normal((Cui.shape[0], factors), dtype=np.float32)
     model.item_factors = rng.standard_normal((Cui.shape[1], factors), dtype=np.float32)
 
@@ -428,6 +431,11 @@ def main():
     # bigger batches amortize the per-call host/transport round trip
     qps8k = stage("serving8k", lambda: bench_serving(Cui, batch=8192, n_batches=4))
     extras["recommend_users_per_s_batch8192_160k_items"] = _row(qps8k, digits=0)
+    # 16-bit-storage model: bf16 scoring GEMM (the reference GPU's fp16
+    # serving analogue) — the delta vs the row above is the bf16 MXU win
+    qps8k16 = stage("serving8k_bf16", lambda: bench_serving(
+        Cui, batch=8192, n_batches=4, dtype=np.float16))
+    extras["recommend_users_per_s_batch8192_bf16_table"] = _row(qps8k16, digits=0)
     # ...or keep small batches and hide the round trips behind the device:
     qps_pl = stage("serving_pipelined", lambda: bench_serving_pipelined(Cui))
     extras["recommend_pipelined_users_per_s_batch1024_160k_items"] = _row(qps_pl, digits=0)
@@ -438,6 +446,23 @@ def main():
     bpr_s = stage("bpr", lambda: bench_sgd_epochs(
         BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
     extras["bpr_s_per_epoch_f128"] = _row(bpr_s, digits=3)
+
+    # measurement row for the unified-factor-buffer epoch (1 gather + 1
+    # scatter per step instead of 3+5); the default path stays split until
+    # this row proves the win (models/bpr.py BPR_FUSED_BUFFER)
+    def _bpr_fused_leg():
+        import implicit_tpu.models.bpr as bprmod
+
+        old = bprmod.BPR_FUSED_BUFFER
+        bprmod.BPR_FUSED_BUFFER = 1
+        try:
+            return bench_sgd_epochs(
+                BayesianPersonalizedRanking, Cui, factors=128, random_state=1)
+        finally:
+            bprmod.BPR_FUSED_BUFFER = old
+
+    bpr_fused_s = stage("bpr_fused", _bpr_fused_leg)
+    extras["bpr_s_per_epoch_f128_fusedbuffer"] = _row(bpr_fused_s, digits=3)
 
     lmf_s = stage("lmf", lambda: bench_sgd_epochs(
         LogisticMatrixFactorization, Cui, factors=32, random_state=1))
