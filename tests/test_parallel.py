@@ -319,3 +319,40 @@ def test_mesh_recommend_pipelined():
         ref_ids, ref_scores = model.recommend(b, likes[b], N=7)
         np.testing.assert_array_equal(ids, ref_ids)
         np.testing.assert_allclose(scores, ref_scores, atol=1e-5)
+
+
+def test_mesh_serving_bf16_table():
+    """16-bit-storage models serve through a bf16 mesh-sharded table; mesh
+    and single-device results agree (both score the same rounded table)."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(4)
+    likes = sparse_random(100, 80, density=0.1, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 6, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    single = AlternatingLeastSquares(factors=16, iterations=4, random_state=5,
+                                     dtype=np.float16)
+    single.fit(likes, show_progress=False)
+
+    meshed = AlternatingLeastSquares(factors=16, random_state=5,
+                                     dtype=np.float16, mesh=8)
+    meshed.user_factors = single.user_factors.copy()
+    meshed.item_factors = single.item_factors.copy()
+
+    # the sharded table must carry the serving dtype
+    table, _, _ = meshed._factors_on_mesh("item", meshed._serving_mesh())
+    assert str(table.dtype) == "bfloat16"
+
+    userids = np.arange(100)
+    i1, s1 = single.recommend(userids, likes, N=8)
+    i2, s2 = meshed.recommend(userids, likes, N=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    i1, s1 = single.similar_items(np.arange(20), N=5)
+    i2, s2 = meshed.similar_items(np.arange(20), N=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
