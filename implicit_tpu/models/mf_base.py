@@ -205,7 +205,7 @@ class MatrixFactorizationBase(RecommenderBase):
         factors = np.asarray(factors)
         if self._serving_dtype() != np.float32:
             factors = factors.astype(self._serving_dtype())
-        norms = np.linalg.norm(factors.astype(np.float32), axis=-1)
+        norms = np.linalg.norm(factors.astype(np.float32, copy=False), axis=-1)
         norms[norms == 0] = 1e-10  # avoid divide-by-zero in similarity scoring
         return norms
 
@@ -267,7 +267,10 @@ class MatrixFactorizationBase(RecommenderBase):
             N = min(N, len(items))
             items = _validate_subset(items, self.item_factors.shape[0], "itemids")
             items.sort()
-            item_factors = self.item_factors[items]
+            # subset tables score in the model's serving dtype, exactly like
+            # the full-catalog table (ops.topk's sniff then keeps it)
+            item_factors = np.asarray(self.item_factors[items],
+                                      dtype=self._serving_dtype())
             if mesh is not None:
                 if persistent:
                     item_factors, _, count = shard_items_for_topk(
@@ -483,12 +486,15 @@ class MatrixFactorizationBase(RecommenderBase):
         mesh = self._serving_mesh()
         topk_kwargs = {}
         if subset is not None:
-            factors = factors[subset]
+            # keep the subset table in the serving dtype: norms were computed
+            # from the rounded table, so an unrounded f32 subset would break
+            # cosine self-similarity for 16-bit-storage models
+            factors = np.asarray(factors[subset], dtype=self._serving_dtype())
             norms = norms[subset]
             if mesh is not None:
                 if persistent:
                     factors, norms, count = shard_items_for_topk(
-                        np.asarray(factors), norms, mesh)
+                        factors, norms, mesh)
                     topk_kwargs = dict(mesh=mesh, n_items=count)
                 else:
                     topk_kwargs = dict(mesh=mesh)

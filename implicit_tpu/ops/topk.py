@@ -131,7 +131,15 @@ def _topk_core_sharded(mesh, axis_name="d"):
     return run
 
 
-def shard_items_for_topk(items, item_norms, mesh, axis_name="d", dtype=np.float32):
+def _table_dtype(items):
+    """Scoring dtype rule shared by every table-resolution path: 16-bit
+    float tables serve in bfloat16 (see _topk_core), everything else f32."""
+    if getattr(items, "dtype", None) in (jnp.bfloat16, np.float16):
+        return jnp.bfloat16
+    return np.float32
+
+
+def shard_items_for_topk(items, item_norms, mesh, axis_name="d", dtype=None):
     """Pads and device-puts an item-factor table row-sharded over ``mesh``.
 
     Returns ``(items_dev, norms_dev, n_items)`` ready to pass to
@@ -140,11 +148,12 @@ def shard_items_for_topk(items, item_norms, mesh, axis_name="d", dtype=np.float3
     with 1. Callers serving repeatedly should cache the result — this is
     one host->device upload of the whole table. ``dtype`` is the scoring
     dtype of the table (bfloat16 halves the upload and scores on the MXU's
-    bf16 path; see _topk_core).
+    bf16 path; see _topk_core); default follows the input's dtype — 16-bit
+    floats serve bf16, everything else f32.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    items = np.asarray(items, dtype=dtype)
+    items = np.asarray(items, dtype=dtype if dtype is not None else _table_dtype(items))
     n_items = items.shape[0]
     n_sh = mesh.shape[axis_name]
     padded_n = -(-max(n_items, 1) // n_sh) * n_sh
@@ -306,12 +315,7 @@ def topk_async(items, query, k, item_norms=None, filter_query_items=None,
     scores_out = np.empty((q_rows, k_eff), dtype=out_dtype)
 
     if not use_mesh:
-        # 16-bit float tables serve in bfloat16 (see _topk_core); everything
-        # else scores in float32
-        if getattr(items, "dtype", None) in (jnp.bfloat16, np.float16):
-            items_dev = jnp.asarray(items, dtype=jnp.bfloat16)
-        else:
-            items_dev = jnp.asarray(items, dtype=jnp.float32)
+        items_dev = jnp.asarray(items, dtype=_table_dtype(items))
         norms_dev = (
             jnp.asarray(item_norms, dtype=jnp.float32)
             if item_norms is not None

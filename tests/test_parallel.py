@@ -356,3 +356,37 @@ def test_mesh_serving_bf16_table():
     i2, s2 = meshed.similar_items(np.arange(20), N=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+def test_mesh_serving_bf16_subset_consistent():
+    """items=/users= subset serving on a mesh uses the same bf16-rounded
+    table as the full catalog: self-similarity stays exactly ~1 and subset
+    results agree with the single-device subset path."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(6)
+    likes = sparse_random(80, 60, density=0.12, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 6, n).astype(np.float64))
+    likes = likes.tocsr()
+
+    single = AlternatingLeastSquares(factors=16, iterations=4, random_state=2,
+                                     dtype=np.float16)
+    single.fit(likes, show_progress=False)
+    meshed = AlternatingLeastSquares(factors=16, random_state=2,
+                                     dtype=np.float16, mesh=8)
+    meshed.user_factors = single.user_factors.copy()
+    meshed.item_factors = single.item_factors.copy()
+
+    subset = np.arange(0, 60, 2)
+    for model in (single, meshed):
+        ids, scores = model.similar_items(np.arange(0, 20, 2), N=5, items=subset)
+        # each even item is in the subset, so it must rank itself first at ~1
+        np.testing.assert_array_equal(ids[:, 0], np.arange(0, 20, 2))
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-5)
+
+    i1, s1 = single.recommend(np.arange(10), likes[:10], N=5, items=subset)
+    i2, s2 = meshed.recommend(np.arange(10), likes[:10], N=5, items=subset)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
