@@ -12,8 +12,11 @@ CSR tensors so the MXU sees large, static-shaped batched matmuls. Multi-chip
 scaling goes through ``jax.sharding`` meshes rather than threads.
 """
 
-from . import als, approximate_als, bpr, lmf, nearest_neighbours
+from . import als, approximate_als, bpr, ease, lmf, nearest_neighbours
 
 __version__ = "0.2.0"
 
-__all__ = ["als", "approximate_als", "bpr", "lmf", "nearest_neighbours", "__version__"]
+__all__ = [
+    "als", "approximate_als", "bpr", "ease", "lmf", "nearest_neighbours",
+    "__version__",
+]

@@ -170,13 +170,12 @@ def _device_knn_wins(csr):
     return host_s > 5.0 and device_s < host_s
 
 
-def _all_pairs_knn_device(user_items, K):
-    """Exact AᵀA top-K on the accelerator: MXU gramian over densified chunks.
+def _dense_gramian_device(user_items):
+    """Dense item-item gramian ``AᵀA`` on the accelerator, as a device array.
 
-    User rows are scatter-densified on device in chunks and accumulated as
-    S += DᵀD MXU contractions (full f32 precision); per-row top-K runs with
-    lax.top_k over row blocks. Replaces the host path's pair-expansion with
-    dense flops — the win condition is decided by :func:`_device_knn_wins`.
+    User rows are scatter-densified on device in chunks (from one COO
+    upload) and accumulated as S += DᵀD MXU contractions in f32. Shared by
+    the device KNN fit and the EASE solve (:mod:`implicit_tpu.ease`).
     """
     import functools
 
@@ -226,16 +225,34 @@ def _all_pairs_knn_device(user_items, K):
             preferred_element_type=jnp.float32,
         )
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def topk_block(Sb, k):
-        return jax.lax.top_k(Sb, k)
-
     S = jnp.zeros((items, items), jnp.float32)
     for start in starts:
         S = accumulate(
             S, d_uids, d_cols, d_vals, jnp.int32(indptr[start]),
             jnp.int32(start), cap, chunk, items,
         )
+    return S
+
+
+def _all_pairs_knn_device(user_items, K):
+    """Exact AᵀA top-K on the accelerator: MXU gramian over densified chunks.
+
+    The gramian comes from :func:`_dense_gramian_device`; per-row top-K runs
+    with lax.top_k over row blocks. Replaces the host path's pair-expansion
+    with dense flops — the win condition is decided by
+    :func:`_device_knn_wins`.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    items = user_items.shape[1]
+    S = _dense_gramian_device(user_items)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def topk_block(Sb, k):
+        return jax.lax.top_k(Sb, k)
 
     k = min(K, items)
     row_block = max(8, min(items, (1 << 25) // max(items, 1)))

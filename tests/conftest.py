@@ -96,6 +96,12 @@ def make_bm25():
     return BM25Recommender(K=50)
 
 
+def make_ease():
+    from implicit_tpu.ease import EASERecommender
+
+    return EASERecommender(K=50, regularization=1.0)
+
+
 MODEL_FACTORIES = {
     "als": make_als,
     "als_cholesky": make_als_cholesky,
@@ -105,6 +111,7 @@ MODEL_FACTORIES = {
     "cosine": make_cosine,
     "tfidf": make_tfidf,
     "bm25": make_bm25,
+    "ease": make_ease,
 }
 
 
