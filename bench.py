@@ -320,6 +320,7 @@ def bench_quality():
     from implicit_tpu.als import AlternatingLeastSquares
     from implicit_tpu.bpr import BayesianPersonalizedRanking
     from implicit_tpu.datasets.synthetic import get_synthetic_clustered
+    from implicit_tpu.ease import EASERecommender
     from implicit_tpu.evaluation import ranking_metrics_at_k, train_test_split
     from implicit_tpu.lmf import LogisticMatrixFactorization
     from implicit_tpu.nearest_neighbours import BM25Recommender
@@ -334,6 +335,7 @@ def bench_quality():
                                            random_state=42),
         "lmf": LogisticMatrixFactorization(factors=30, random_state=42),
         "bm25": BM25Recommender(K=60),
+        "ease": EASERecommender(K=100, regularization=50.0),
     }
     out = {}
     for name, model in models.items():

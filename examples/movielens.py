@@ -35,6 +35,10 @@ def make_model(name):
         "cosine": nearest_neighbours.CosineRecommender,
         "tfidf": nearest_neighbours.TFIDFRecommender,
         "bm25": lambda: nearest_neighbours.BM25Recommender(B=0.2),
+        # closed-form EASE fits movielens-scale catalogs (<=32k items)
+        "ease": lambda: __import__(
+            "implicit_tpu.ease", fromlist=["EASERecommender"]
+        ).EASERecommender(K=100, regularization=250.0),
     }
     try:
         return factories[name]()
@@ -100,7 +104,8 @@ def main():
     parser = argparse.ArgumentParser(description="Generates similar movies on MovieLens")
     parser.add_argument("--output", default="similar-movies.tsv")
     parser.add_argument("--model", default="als",
-                        choices=["als", "bpr", "lmf", "tfidf", "cosine", "bm25"])
+                        choices=["als", "bpr", "lmf", "tfidf", "cosine", "bm25",
+                                 "ease"])
     parser.add_argument("--variant", default="20m", choices=["100k", "1m", "10m", "20m"])
     parser.add_argument("--min_rating", type=float, default=4.0)
     parser.add_argument("--synthetic", action="store_true",
