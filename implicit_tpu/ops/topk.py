@@ -193,6 +193,167 @@ def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_nor
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
+def _topk_core_block(items, queries, norms, qf_rows, qf_cols, filter_items,
+                     n_valid, offset, k, use_norms, use_qf, use_if):
+    """One streaming block's score + select (see :func:`topk_streaming`).
+
+    Like :func:`_topk_core` but with validity masking for the padded tail
+    of the final block and global ids out (``offset`` is the block's first
+    global row). Filter ids arrive block-local (host pre-translates).
+    """
+    scores = jnp.dot(
+        queries.astype(items.dtype), items.T,
+        precision=(jax.lax.Precision.HIGHEST if items.dtype == jnp.float32 else None),
+        preferred_element_type=jnp.float32,
+    )
+    if use_norms:
+        scores = scores / norms[None, :]
+    local = jnp.arange(items.shape[0], dtype=jnp.int32)
+    scores = jnp.where(local[None, :] < n_valid, scores, NEG_MAX)
+    if use_if:
+        scores = scores.at[:, filter_items].set(NEG_MAX, mode="drop")
+    if use_qf:
+        scores = scores.at[qf_rows, qf_cols].set(NEG_MAX, mode="drop")
+    vals, idx = jax.lax.top_k(scores, k)
+    # padded-tail rows can only surface on all-sentinel ties; never leak an
+    # out-of-catalog id for them
+    ids = jnp.where(idx < n_valid, idx.astype(jnp.int32) + offset, -1)
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_merge(vals_a, ids_a, vals_b, ids_b, k):
+    """Merges two (Q, k) candidate sets into the running top-k."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)
+    merged_vals, pos = jax.lax.top_k(vals, k)
+    return merged_vals, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
+                   filter_items=None, block_rows=None, num_threads=0):
+    """Exact top-k over an item table too large for device residency.
+
+    The serving path for catalogs whose factor table outgrows HBM: ``items``
+    stays on the host (numpy array or anything sliceable to one, e.g. a
+    memmap); row blocks are uploaded with a bounded in-flight window
+    (dispatches are async, so block ``b+1``'s upload overlaps block ``b``'s
+    GEMM) and a running ``(Q, k)`` candidate set merges per block via
+    concat + ``top_k``. Results are identical to :func:`topk` on a resident
+    table — full filter semantics, -FLT_MAX sentinels, short-result padding.
+
+    Device memory is bounded by a few blocks' ``(block_rows, F)`` buffers
+    plus ``(Q, block_rows)`` scores, independent of the catalog size.
+    ``block_rows`` defaults from the same live-HBM budget as resident
+    serving. 16-bit item tables stream and score in bfloat16.
+    """
+    query = np.asarray(query) if not isinstance(query, jax.Array) else query
+    if query.ndim == 1:
+        query = query.reshape(1, -1)
+    q_rows, F = query.shape
+    n_items = items.shape[0]
+    if k <= 0:
+        return (np.empty((q_rows, 0), dtype=np.int32),
+                np.empty((q_rows, 0), dtype=np.float32))
+    k_eff = max(1, min(int(k), n_items))
+
+    table_dt = _table_dtype(items)
+    q_dev = jnp.asarray(np.asarray(query, dtype=np.float32))
+
+    if block_rows is None:
+        block_rows = max(1024, _score_budget_elements() // max(q_rows, 1))
+    block_rows = int(min(_pad_dim(block_rows), _pad_dim(n_items)))
+
+    fi = (np.asarray(filter_items, dtype=np.int64)
+          if filter_items is not None and len(filter_items) > 0 else None)
+    qf_row = qf_col = None
+    if filter_query_items is not None:
+        coo = filter_query_items.tocoo()
+        order = np.argsort(coo.col, kind="stable")
+        qf_row = coo.row[order].astype(np.int32)
+        qf_col = coo.col[order].astype(np.int64)
+
+    running = None  # (vals, ids) device pair
+    pending = []  # bound host-side block prep so uploads don't pile up
+
+    for start in range(0, n_items, block_rows):
+        stop = min(start + block_rows, n_items)
+        rows_here = stop - start
+        block = np.asarray(items[start:stop], dtype=table_dt)
+        if rows_here < block_rows:
+            block = np.concatenate(
+                [block, np.zeros((block_rows - rows_here, F), dtype=table_dt)])
+        block_dev = jax.device_put(block)
+
+        if item_norms is not None:
+            nrm = np.ones(block_rows, dtype=np.float32)
+            nrm[:rows_here] = np.asarray(item_norms[start:stop], dtype=np.float32)
+            norms_dev = jnp.asarray(nrm)
+        else:
+            norms_dev = jnp.zeros((1,), dtype=jnp.float32)
+
+        if fi is not None:
+            in_block = fi[(fi >= start) & (fi < stop)] - start
+            use_if = len(in_block) > 0
+            fi_local = np.full(_pad_dim(max(len(in_block), 1)), block_rows,
+                               dtype=np.int32)
+            fi_local[: len(in_block)] = in_block
+            fi_dev = jnp.asarray(fi_local)
+        else:
+            use_if = False
+            fi_dev = jnp.zeros((1,), dtype=jnp.int32)
+
+        if qf_col is not None:
+            lo = np.searchsorted(qf_col, start)
+            hi = np.searchsorted(qf_col, stop)
+            rows_sel = qf_row[lo:hi]
+            cols_sel = (qf_col[lo:hi] - start).astype(np.int32)
+            nnz = len(cols_sel)
+            use_qf = nnz > 0
+            padded_nnz = _pad_dim(max(nnz, 1))
+            qf_rows_p = np.full(padded_nnz, q_rows, dtype=np.int32)
+            qf_cols_p = np.zeros(padded_nnz, dtype=np.int32)
+            qf_rows_p[:nnz] = rows_sel
+            qf_cols_p[:nnz] = cols_sel
+            qf_rows_dev = jnp.asarray(qf_rows_p)
+            qf_cols_dev = jnp.asarray(qf_cols_p)
+        else:
+            use_qf = False
+            qf_rows_dev = jnp.zeros((1,), dtype=jnp.int32)
+            qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
+
+        vals, ids = _topk_core_block(
+            block_dev, q_dev, norms_dev, qf_rows_dev, qf_cols_dev, fi_dev,
+            jnp.int32(rows_here), jnp.int32(start),
+            min(k_eff, block_rows), item_norms is not None, use_qf, use_if,
+        )
+        if running is None:
+            if vals.shape[1] < k_eff:  # single tiny block smaller than k
+                pad = k_eff - vals.shape[1]
+                vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_MAX)
+                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            running = (vals, ids)
+        else:
+            running = _topk_merge(running[0], running[1], vals, ids, k_eff)
+
+        # keep at most a couple of block uploads in flight
+        pending.append(running[0])
+        if len(pending) > 2:
+            pending.pop(0).block_until_ready()
+
+    vals, ids = running
+    ids = np.asarray(ids)
+    vals = np.asarray(vals)
+    if k_eff < k:
+        pad = k - k_eff
+        ids = np.concatenate(
+            [ids, np.full((q_rows, pad), -1, dtype=np.int32)], axis=1)
+        vals = np.concatenate(
+            [vals, np.full((q_rows, pad), NEG_MAX, dtype=np.float32)], axis=1)
+    return ids.astype(np.int32), vals
+
+
 class TopkFuture:
     """Deferred top-k result: dispatched to the device, not yet fetched.
 
