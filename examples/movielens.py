@@ -26,7 +26,7 @@ NEIGHBOURS = 11
 
 def make_model(name):
     import implicit_tpu
-    from implicit_tpu import nearest_neighbours
+    from implicit_tpu import ease, nearest_neighbours
 
     factories = {
         "als": implicit_tpu.als.AlternatingLeastSquares,
@@ -36,9 +36,7 @@ def make_model(name):
         "tfidf": nearest_neighbours.TFIDFRecommender,
         "bm25": lambda: nearest_neighbours.BM25Recommender(B=0.2),
         # closed-form EASE fits movielens-scale catalogs (<=32k items)
-        "ease": lambda: __import__(
-            "implicit_tpu.ease", fromlist=["EASERecommender"]
-        ).EASERecommender(K=100, regularization=250.0),
+        "ease": lambda: ease.EASERecommender(K=100, regularization=250.0),
     }
     try:
         return factories[name]()

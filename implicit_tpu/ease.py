@@ -117,66 +117,18 @@ class EASERecommender(ItemItemRecommender):
         idx = jnp.arange(items)
         B = B.at[idx, idx].set(jnp.maximum(jnp.max(B, axis=1), 0.0) + 1.0)
 
-        import functools
+        from .nearest_neighbours import _dense_topk_to_coo
 
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def topk_block(Bb, k):
-            return jax.lax.top_k(Bb, k)
-
-        k = int(min(self.K, items))
-        row_block = max(8, min(items, (1 << 25) // max(items, 1)))
-        pending = []
-        for start in range(0, items, row_block):
-            stop = min(start + row_block, items)
-            pending.append((start, topk_block(B[start:stop], k)))
-
-        triples = []
-        for start, (vals, cols) in pending:
-            vals = np.asarray(vals, dtype=np.float64)
-            cols = np.asarray(cols)
-            r, c = np.nonzero(vals != 0.0)  # negatives are meaningful in EASE
-            triples.append(
-                (r.astype(np.int32) + start, cols[r, c].astype(np.int32), vals[r, c])
-            )
-
-        rows = np.concatenate([t[0] for t in triples]) if triples else np.empty(0, np.int32)
-        cols = np.concatenate([t[1] for t in triples]) if triples else np.empty(0, np.int32)
-        vals = np.concatenate([t[2] for t in triples]) if triples else np.empty(0)
+        # negatives are meaningful in EASE: keep everything the top-K selects
         self.similarity = sp.csr_matrix(
-            sp.coo_matrix((vals, (rows, cols)), shape=(items, items))
-        )
+            _dense_topk_to_coo(B, int(self.K), keep="nonzero"))
         self.scorer = NearestNeighboursScorer(self.similarity)
 
-    def save(self, fileobj_or_path):
-        args = {
+    def _save_args(self):
+        # save/load themselves are inherited: the base load restores every
+        # non-matrix key generically
+        return {
             "K": self.K,
             "regularization": self.regularization,
             "binarize": self.binarize,
         }
-        if self.similarity is not None:
-            args.update(
-                shape=self.similarity.shape,
-                data=self.similarity.data,
-                indptr=self.similarity.indptr,
-                indices=self.similarity.indices,
-            )
-        np.savez(fileobj_or_path, **args)
-
-    @classmethod
-    def load(cls, fileobj_or_path):
-        if isinstance(fileobj_or_path, str) and not fileobj_or_path.endswith(".npz"):
-            fileobj_or_path = fileobj_or_path + ".npz"
-        with np.load(fileobj_or_path, allow_pickle=False) as data:
-            ret = cls()
-            ret.K = int(data["K"])
-            if "regularization" in data:
-                ret.regularization = float(data["regularization"])
-            if "binarize" in data:
-                ret.binarize = bool(data["binarize"])
-            if data.get("data") is not None:
-                ret.similarity = sp.csr_matrix(
-                    (data["data"], data["indices"], data["indptr"]),
-                    shape=data["shape"],
-                )
-                ret.scorer = NearestNeighboursScorer(ret.similarity)
-            return ret

@@ -505,8 +505,7 @@ def user_factor(Y, YtY, Cui, u, regularization, n_factors):
 def item_factor(X, XtX, Cui, u, regularization, n_factors):
     """Solves a single item's factor against its liking users' factors —
     the mirrored solve (reference /root/reference/implicit/cpu/als.py:522)."""
-    A, b = user_linear_equation(X, XtX, Cui, u, regularization, n_factors)
-    return np.linalg.solve(A, b)
+    return user_factor(X, XtX, Cui, u, regularization, n_factors)
 
 
 def least_squares(Cui, X, Y, regularization, num_threads=0):

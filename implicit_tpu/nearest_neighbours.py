@@ -234,21 +234,20 @@ def _dense_gramian_device(user_items):
     return S
 
 
-def _all_pairs_knn_device(user_items, K):
-    """Exact AᵀA top-K on the accelerator: MXU gramian over densified chunks.
+def _dense_topk_to_coo(S, K, keep="positive"):
+    """K-sparsifies a dense device (items x items) matrix into COO triples.
 
-    The gramian comes from :func:`_dense_gramian_device`; per-row top-K runs
-    with lax.top_k over row blocks. Replaces the host path's pair-expansion
-    with dense flops — the win condition is decided by
-    :func:`_device_knn_wins`.
+    Per-row lax.top_k over row blocks; ``keep`` selects which of the K
+    values survive: "positive" (similarity gramians — only co-occurring
+    pairs carry signal) or "nonzero" (signed weight matrices, e.g. EASE).
+    Dispatches enqueue first, then fetch (a per-block fetch would serialize
+    ~dozens of transport round trips).
     """
     import functools
 
     import jax
-    import jax.numpy as jnp
 
-    items = user_items.shape[1]
-    S = _dense_gramian_device(user_items)
+    items = S.shape[0]
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def topk_block(Sb, k):
@@ -256,8 +255,6 @@ def _all_pairs_knn_device(user_items, K):
 
     k = min(K, items)
     row_block = max(8, min(items, (1 << 25) // max(items, 1)))
-    # enqueue every block first (dispatches are async), then fetch: a
-    # per-block fetch would serialize ~dozens of transport round trips
     pending = []
     for start in range(0, items, row_block):
         stop = min(start + row_block, items)
@@ -266,15 +263,26 @@ def _all_pairs_knn_device(user_items, K):
     for start, (vals, cols) in pending:
         vals = np.asarray(vals, dtype=np.float64)
         cols = np.asarray(cols)
-        # only co-occurring pairs carry similarity: with the nonnegative
-        # weights the dispatcher guarantees, those are exactly the positives
-        r, c = np.nonzero(vals > 0)
-        triples.append((r.astype(np.int32) + start, cols[r, c].astype(np.int32), vals[r, c]))
+        r, c = np.nonzero(vals > 0 if keep == "positive" else vals != 0)
+        triples.append(
+            (r.astype(np.int32) + start, cols[r, c].astype(np.int32), vals[r, c]))
 
-    rows = np.concatenate([t[0] for t in triples])
-    cols = np.concatenate([t[1] for t in triples])
-    vals = np.concatenate([t[2] for t in triples])
+    rows = np.concatenate([t[0] for t in triples]) if triples else np.empty(0, np.int32)
+    cols = np.concatenate([t[1] for t in triples]) if triples else np.empty(0, np.int32)
+    vals = np.concatenate([t[2] for t in triples]) if triples else np.empty(0)
     return sp.coo_matrix((vals, (rows, cols)), shape=(items, items))
+
+
+def _all_pairs_knn_device(user_items, K):
+    """Exact AᵀA top-K on the accelerator: MXU gramian over densified chunks.
+
+    The gramian comes from :func:`_dense_gramian_device`; sparsification
+    from :func:`_dense_topk_to_coo`. Replaces the host path's
+    pair-expansion with dense flops — the win condition is decided by
+    :func:`_device_knn_wins`.
+    """
+    return _dense_topk_to_coo(_dense_gramian_device(user_items), K,
+                              keep="positive")
 
 
 class NearestNeighboursScorer:
@@ -530,8 +538,18 @@ class ItemItemRecommender(RecommenderBase):
             NearestNeighboursScorer(self.similarity) if self.similarity is not None else None
         )
 
+    def _save_args(self):
+        """Hyperparameters persisted alongside the similarity matrix.
+
+        Subclasses with extra fit-relevant hyperparameters (e.g. EASE's
+        regularization) extend this; ``load`` restores every non-matrix key
+        generically, so overriding this one hook is the whole persistence
+        contract.
+        """
+        return {"K": self.K}
+
     def save(self, fileobj_or_path):
-        args = {"K": self.K}
+        args = self._save_args()
         if self.similarity is not None:
             args.update(
                 shape=self.similarity.shape,
@@ -541,6 +559,8 @@ class ItemItemRecommender(RecommenderBase):
             )
         np.savez(fileobj_or_path, **args)
 
+    _MATRIX_KEYS = ("shape", "data", "indptr", "indices")
+
     @classmethod
     def load(cls, fileobj_or_path):
         if isinstance(fileobj_or_path, str) and not fileobj_or_path.endswith(".npz"):
@@ -548,7 +568,11 @@ class ItemItemRecommender(RecommenderBase):
 
         with np.load(fileobj_or_path, allow_pickle=False) as data:
             ret = cls()
-            ret.K = data["K"]
+            for key in data.files:
+                if key in cls._MATRIX_KEYS:
+                    continue
+                val = data[key]
+                setattr(ret, key, val.item() if val.ndim == 0 else val)
             if data.get("data") is not None:
                 ret.similarity = sp.csr_matrix(
                     (data["data"], data["indices"], data["indptr"]), shape=data["shape"]

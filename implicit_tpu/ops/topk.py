@@ -232,7 +232,8 @@ def _topk_merge(vals_a, ids_a, vals_b, ids_b, k):
 
 
 def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
-                   filter_items=None, block_rows=None, num_threads=0):
+                   filter_items=None, block_rows=None, num_threads=0,
+                   q_chunk_rows=None):
     """Exact top-k over an item table too large for device residency.
 
     The serving path for catalogs whose factor table outgrows HBM: ``items``
@@ -243,10 +244,13 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
     concat + ``top_k``. Results are identical to :func:`topk` on a resident
     table — full filter semantics, -FLT_MAX sentinels, short-result padding.
 
-    Device memory is bounded by a few blocks' ``(block_rows, F)`` buffers
-    plus ``(Q, block_rows)`` scores, independent of the catalog size.
-    ``block_rows`` defaults from the same live-HBM budget as resident
-    serving. 16-bit item tables stream and score in bfloat16.
+    Device memory is bounded: ``block_rows`` defaults from the same live-HBM
+    budget as resident serving, sized against BOTH the score matrix and the
+    block's own ``(block_rows, F)`` buffer, and large query batches are
+    processed in uniformly padded chunks (one compiled program, one table
+    pass total — blocks stream in the outer loop, every query chunk scores
+    each block while it is resident). 16-bit item tables stream and score
+    in bfloat16.
     """
     query = np.asarray(query) if not isinstance(query, jax.Array) else query
     if query.ndim == 1:
@@ -259,11 +263,31 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
     k_eff = max(1, min(int(k), n_items))
 
     table_dt = _table_dtype(items)
-    q_dev = jnp.asarray(np.asarray(query, dtype=np.float32))
+    budget = _score_budget_elements()
 
     if block_rows is None:
-        block_rows = max(1024, _score_budget_elements() // max(q_rows, 1))
-    block_rows = int(min(_pad_dim(block_rows), _pad_dim(n_items)))
+        # bound the score matrix (q_chunk x block) AND the block itself
+        # (block x F) by the budget — the block upload is the whole point
+        # of streaming, it must never approach the table size
+        block_rows = max(1024, min(budget // max(min(q_rows, 8192), 1),
+                                   budget // max(F, 1)))
+    # each block's top_k must return k_eff candidates (no pad sentinels,
+    # which would win -FLT_MAX ties against later blocks' real filtered ids)
+    block_rows = int(min(max(_pad_dim(block_rows), _pad_dim(k_eff)),
+                         _pad_dim(n_items)))
+
+    # uniform padded query-chunk width: the block kernel compiles once per
+    # (chunk, block) shape instead of once per caller batch size
+    if q_chunk_rows is None:
+        q_chunk_rows = budget // block_rows
+    q_chunk = int(_pad_dim(max(8, min(q_rows, q_chunk_rows))))
+    chunk_starts = list(range(0, q_rows, q_chunk))
+    q_devs = []
+    for c0 in chunk_starts:
+        qc = np.zeros((q_chunk, F), dtype=np.float32)
+        qc[: min(q_chunk, q_rows - c0)] = np.asarray(
+            query[c0 : c0 + q_chunk], dtype=np.float32)
+        q_devs.append(jnp.asarray(qc))
 
     fi = (np.asarray(filter_items, dtype=np.int64)
           if filter_items is not None and len(filter_items) > 0 else None)
@@ -271,11 +295,11 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
     if filter_query_items is not None:
         coo = filter_query_items.tocoo()
         order = np.argsort(coo.col, kind="stable")
-        qf_row = coo.row[order].astype(np.int32)
+        qf_row = coo.row[order].astype(np.int64)
         qf_col = coo.col[order].astype(np.int64)
 
-    running = None  # (vals, ids) device pair
-    pending = []  # bound host-side block prep so uploads don't pile up
+    running = [None] * len(chunk_starts)  # (vals, ids) device pair per chunk
+    pending = []  # bound in-flight blocks so uploads don't pile up
 
     for start in range(0, n_items, block_rows):
         stop = min(start + block_rows, n_items)
@@ -307,51 +331,61 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
         if qf_col is not None:
             lo = np.searchsorted(qf_col, start)
             hi = np.searchsorted(qf_col, stop)
-            rows_sel = qf_row[lo:hi]
-            cols_sel = (qf_col[lo:hi] - start).astype(np.int32)
-            nnz = len(cols_sel)
-            use_qf = nnz > 0
-            padded_nnz = _pad_dim(max(nnz, 1))
-            qf_rows_p = np.full(padded_nnz, q_rows, dtype=np.int32)
-            qf_cols_p = np.zeros(padded_nnz, dtype=np.int32)
-            qf_rows_p[:nnz] = rows_sel
-            qf_cols_p[:nnz] = cols_sel
-            qf_rows_dev = jnp.asarray(qf_rows_p)
-            qf_cols_dev = jnp.asarray(qf_cols_p)
+            blk_rows_g = qf_row[lo:hi]
+            blk_cols_l = (qf_col[lo:hi] - start).astype(np.int32)
         else:
-            use_qf = False
-            qf_rows_dev = jnp.zeros((1,), dtype=jnp.int32)
-            qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
+            blk_rows_g = blk_cols_l = None
 
-        vals, ids = _topk_core_block(
-            block_dev, q_dev, norms_dev, qf_rows_dev, qf_cols_dev, fi_dev,
-            jnp.int32(rows_here), jnp.int32(start),
-            min(k_eff, block_rows), item_norms is not None, use_qf, use_if,
-        )
-        if running is None:
-            if vals.shape[1] < k_eff:  # single tiny block smaller than k
-                pad = k_eff - vals.shape[1]
-                vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_MAX)
-                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            running = (vals, ids)
-        else:
-            running = _topk_merge(running[0], running[1], vals, ids, k_eff)
+        for ci, c0 in enumerate(chunk_starts):
+            c1 = min(c0 + q_chunk, q_rows)
+            if blk_rows_g is not None:
+                m = (blk_rows_g >= c0) & (blk_rows_g < c1)
+                rows_sel = (blk_rows_g[m] - c0).astype(np.int32)
+                cols_sel = blk_cols_l[m]
+                nnz = len(cols_sel)
+                use_qf = nnz > 0
+                padded_nnz = _pad_dim(max(nnz, 1))
+                qf_rows_p = np.full(padded_nnz, q_chunk, dtype=np.int32)
+                qf_cols_p = np.zeros(padded_nnz, dtype=np.int32)
+                qf_rows_p[:nnz] = rows_sel
+                qf_cols_p[:nnz] = cols_sel
+                qf_rows_dev = jnp.asarray(qf_rows_p)
+                qf_cols_dev = jnp.asarray(qf_cols_p)
+            else:
+                use_qf = False
+                qf_rows_dev = jnp.zeros((1,), dtype=jnp.int32)
+                qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
+
+            vals, ids = _topk_core_block(
+                block_dev, q_devs[ci], norms_dev, qf_rows_dev, qf_cols_dev,
+                fi_dev, jnp.int32(rows_here), jnp.int32(start),
+                k_eff, item_norms is not None, use_qf, use_if,
+            )
+            if running[ci] is None:
+                running[ci] = (vals, ids)
+            else:
+                running[ci] = _topk_merge(
+                    running[ci][0], running[ci][1], vals, ids, k_eff)
 
         # keep at most a couple of block uploads in flight
-        pending.append(running[0])
+        pending.append(block_dev)
         if len(pending) > 2:
-            pending.pop(0).block_until_ready()
+            pending.pop(0)
+            running[0][0].block_until_ready()
 
-    vals, ids = running
-    ids = np.asarray(ids)
-    vals = np.asarray(vals)
+    ids = np.empty((q_rows, k_eff), dtype=np.int32)
+    vals = np.empty((q_rows, k_eff), dtype=np.float32)
+    for ci, c0 in enumerate(chunk_starts):
+        c1 = min(c0 + q_chunk, q_rows)
+        ids[c0:c1] = np.asarray(running[ci][1])[: c1 - c0]
+        vals[c0:c1] = np.asarray(running[ci][0])[: c1 - c0]
     if k_eff < k:
         pad = k - k_eff
         ids = np.concatenate(
             [ids, np.full((q_rows, pad), -1, dtype=np.int32)], axis=1)
         vals = np.concatenate(
             [vals, np.full((q_rows, pad), NEG_MAX, dtype=np.float32)], axis=1)
-    return ids.astype(np.int32), vals
+    return ids, vals
 
 
 class TopkFuture:

@@ -88,3 +88,45 @@ def test_memmap_table(tmp_path):
     ids_r, _ = topk(items, queries, 10)
     ids_s, _ = topk_streaming(mm, queries, 10, block_rows=256)
     np.testing.assert_array_equal(ids_r, ids_s)
+
+
+def test_default_block_sizing_bounds_table_dim():
+    # the default block size must bound the (block, F) upload too — a
+    # single-query call over a large catalog must not upload it all at once
+    from implicit_tpu.ops import topk as topk_mod
+
+    items, _ = _data(n_items=5000, q=1, seed=8)
+    budget = topk_mod._score_budget_elements()
+    # reproduce the sizing: both dims bounded
+    expect_max = max(1024, min(budget // 1, budget // items.shape[1]))
+    assert expect_max * items.shape[1] <= max(budget, 1024 * items.shape[1])
+    ids_r, _ = topk(items, items[:1], 10)
+    ids_s, _ = topk_streaming(items, items[0], 10)  # default block_rows
+    np.testing.assert_array_equal(ids_r[0], ids_s[0])
+
+
+def test_query_chunking_matches():
+    # multiple uniformly padded query chunks against multiple blocks, with
+    # both filter kinds crossing chunk and block boundaries
+    items, queries = _data(n_items=500, q=70, seed=9)
+    rng = np.random.default_rng(10)
+    qf = sparse_random(70, 500, density=0.04, random_state=rng, format="csr")
+    qf.data[:] = 1.0
+    fi = rng.choice(500, size=25, replace=False)
+    kw = dict(filter_query_items=qf, filter_items=fi)
+    ids_r, vals_r = topk(items, queries, 7, **kw)
+    ids_s, vals_s = topk_streaming(items, queries, 7, block_rows=128,
+                                   q_chunk_rows=16, **kw)
+    np.testing.assert_array_equal(ids_r, ids_s)
+    np.testing.assert_allclose(vals_r, vals_s, rtol=1e-6)
+
+
+def test_all_items_filtered_parity_semantics():
+    # every candidate filtered: like resident topk, filtered real ids still
+    # round out the results at -FLT_MAX (never -1 pad sentinels)
+    items, queries = _data(n_items=60, q=4, seed=11)
+    fi = np.arange(60)
+    ids_s, vals_s = topk_streaming(items, queries, 10, block_rows=16,
+                                   filter_items=fi)
+    assert (ids_s >= 0).all()
+    assert (vals_s <= -np.finfo(np.float32).max / 2).all()
