@@ -17,8 +17,43 @@ cache.
 import numpy as np
 from scipy.sparse import csr_matrix
 
-from ..ops.topk import shard_items_for_topk, topk, topk_async
+from ..ops.topk import (
+    shard_items_for_topk, topk, topk_async, topk_streaming,
+)
 from ..recommender_base import RecommenderBase
+
+
+class _StreamTable:
+    """Marker for a factor table served via ops.topk.topk_streaming: the
+    host array stays host-resident and row blocks stream per call. Chosen
+    automatically when the table wouldn't fit the device memory budget."""
+
+    def __init__(self, array, norms=None):
+        self.array = array
+        self.norms = norms
+
+
+class _ReadyFuture:
+    """TopkFuture-shaped wrapper for already-computed streaming results."""
+
+    def __init__(self, ids, scores):
+        self._out = (ids, scores)
+
+    def result(self):
+        return self._out
+
+
+def _stream_threshold_bytes():
+    """Tables above this byte size serve via streaming instead of residency.
+
+    Mirrors the resident path's working-set budget (half of free HBM capped
+    at 4GB, ops.topk._score_budget_elements): a table bigger than the score
+    budget would crowd out the score matrices it serves, and one bigger
+    than HBM cannot upload at all.
+    """
+    from ..ops.topk import _score_budget_elements
+
+    return 4 * _score_budget_elements()
 
 
 def _validate_subset(subset, total, what):
@@ -114,6 +149,13 @@ class MatrixFactorizationBase(RecommenderBase):
         if dt is not None and np.dtype(dt).itemsize == 2:
             return jnp.bfloat16
         return jnp.float32
+
+    def _table_streams(self, factors):
+        """True when ``factors`` is too large for device residency."""
+        if factors is None:
+            return False
+        itemsize = 2 if self._serving_dtype() != np.float32 else 4
+        return factors.shape[0] * factors.shape[1] * itemsize > _stream_threshold_bytes()
 
     def _user_factors_on_device(self):
         if self._user_factors_dev is None:
@@ -232,8 +274,9 @@ class MatrixFactorizationBase(RecommenderBase):
     def _user_factor(self, userid, user_items, recalculate_user=False):
         if recalculate_user:
             return self.recalculate_user(userid, user_items)
-        if self._serving_mesh() is not None:
-            # mesh serving replicates query chunks itself; gather on host
+        if self._serving_mesh() is not None or self._table_streams(self._user_factors):
+            # mesh serving replicates query chunks itself, and a
+            # beyond-budget table must never upload whole: gather on host
             f = self._user_factors
             return f[userid : userid + 1] if np.isscalar(userid) else f[np.asarray(userid)]
         # gather stored factors on-device: no host round-trip for the queries
@@ -243,7 +286,7 @@ class MatrixFactorizationBase(RecommenderBase):
     def _item_factor(self, itemid, item_users, recalculate_item=False):
         if recalculate_item:
             return self.recalculate_item(itemid, item_users)
-        if self._serving_mesh() is not None:
+        if self._serving_mesh() is not None or self._table_streams(self._item_factors):
             f = self._item_factors
             return f[itemid : itemid + 1] if np.isscalar(itemid) else f[np.asarray(itemid)]
         dev = self._item_factors_on_device()
@@ -279,6 +322,8 @@ class MatrixFactorizationBase(RecommenderBase):
                 else:
                     # one-off subset: topk pads+shards it per call
                     topk_kwargs = dict(mesh=mesh)
+            elif self._table_streams(item_factors):
+                item_factors = _StreamTable(item_factors)
             elif persistent:
                 import jax.numpy as jnp
 
@@ -287,6 +332,10 @@ class MatrixFactorizationBase(RecommenderBase):
             # multi-chip serving: cached item-sharded table, ICI merge
             item_factors, _, count = self._factors_on_mesh("item", mesh)
             topk_kwargs = dict(mesh=mesh, n_items=count)
+        elif self._table_streams(self.item_factors):
+            # beyond-budget catalog: the table stays on the host and serves
+            # through ops.topk.topk_streaming (block uploads, exact results)
+            item_factors = _StreamTable(self.item_factors)
         else:
             # the full-catalog path serves from the cached device copy
             item_factors = self._item_factors_on_device()
@@ -330,15 +379,24 @@ class MatrixFactorizationBase(RecommenderBase):
             if items is not None:
                 filter_query_items = _filter_items_from_sparse_matrix(items, filter_query_items)
 
-        future = topk_async(
-            item_factors,
-            user,
-            N,
-            filter_query_items=filter_query_items,
-            filter_items=filter_items,
-            num_threads=self.num_threads,
-            **topk_kwargs,
-        )
+        if isinstance(item_factors, _StreamTable):
+            future = _ReadyFuture(*topk_streaming(
+                item_factors.array,
+                np.asarray(user),
+                N,
+                filter_query_items=filter_query_items,
+                filter_items=filter_items,
+            ))
+        else:
+            future = topk_async(
+                item_factors,
+                user,
+                N,
+                filter_query_items=filter_query_items,
+                filter_items=filter_items,
+                num_threads=self.num_threads,
+                **topk_kwargs,
+            )
 
         def post(ids, scores):
             if np.isscalar(userid):
@@ -498,6 +556,8 @@ class MatrixFactorizationBase(RecommenderBase):
                     topk_kwargs = dict(mesh=mesh, n_items=count)
                 else:
                     topk_kwargs = dict(mesh=mesh)
+            elif self._table_streams(factors):
+                factors = _StreamTable(factors)
             elif persistent:
                 import jax.numpy as jnp
 
@@ -524,15 +584,24 @@ class MatrixFactorizationBase(RecommenderBase):
             prep = self._prep_similar_table(factors, norms, subset, which)
         factors, norms, topk_kwargs = prep
 
-        future = topk_async(
-            factors,
-            query_factor,
-            N,
-            item_norms=norms,
-            filter_items=filter_ids,
-            num_threads=self.num_threads,
-            **topk_kwargs,
-        )
+        if isinstance(factors, _StreamTable):
+            future = _ReadyFuture(*topk_streaming(
+                factors.array,
+                np.asarray(query_factor),
+                N,
+                item_norms=np.asarray(norms),
+                filter_items=filter_ids,
+            ))
+        else:
+            future = topk_async(
+                factors,
+                query_factor,
+                N,
+                item_norms=norms,
+                filter_items=filter_ids,
+                num_threads=self.num_threads,
+                **topk_kwargs,
+            )
 
         def post(ids, scores):
             if np.isscalar(query_norm):
@@ -569,6 +638,8 @@ class MatrixFactorizationBase(RecommenderBase):
             factors = self.user_factors
         elif self._serving_mesh() is not None:
             factors = self.user_factors  # _similar swaps in the mesh table
+        elif self._table_streams(self.user_factors):
+            factors = _StreamTable(self.user_factors)
         else:
             factors = self._user_factors_on_device()
 
@@ -602,6 +673,8 @@ class MatrixFactorizationBase(RecommenderBase):
         norms = self.user_norms
         if sub is not None or self._serving_mesh() is not None:
             table = self.user_factors  # prep swaps in the subset / mesh table
+        elif self._table_streams(self.user_factors):
+            table = _StreamTable(self.user_factors)
         else:
             table = self._user_factors_on_device()
         prep = self._prep_similar_table(table, norms, sub, "user", persistent=True)
@@ -639,6 +712,8 @@ class MatrixFactorizationBase(RecommenderBase):
             factors = self.item_factors
         elif self._serving_mesh() is not None:
             factors = self.item_factors  # _similar swaps in the mesh table
+        elif self._table_streams(self.item_factors):
+            factors = _StreamTable(self.item_factors)
         else:
             factors = self._item_factors_on_device()
 
@@ -676,6 +751,8 @@ class MatrixFactorizationBase(RecommenderBase):
         norms = self.item_norms
         if sub is not None or self._serving_mesh() is not None:
             table = self.item_factors  # prep swaps in the subset / mesh table
+        elif self._table_streams(self.item_factors):
+            table = _StreamTable(self.item_factors)
         else:
             table = self._item_factors_on_device()
         prep = self._prep_similar_table(table, norms, sub, "item", persistent=True)

@@ -130,3 +130,56 @@ def test_all_items_filtered_parity_semantics():
                                    filter_items=fi)
     assert (ids_s >= 0).all()
     assert (vals_s <= -np.finfo(np.float32).max / 2).all()
+
+
+def test_model_auto_streams_beyond_budget(monkeypatch):
+    """A model whose factor tables exceed the device budget serves through
+    topk_streaming transparently — same results as resident serving, and
+    the full table is never uploaded."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.models import mf_base
+
+    rng = np.random.default_rng(12)
+    users, items_n, f = 90, 120, 16
+    uf = rng.standard_normal((users, f)).astype(np.float32)
+    itf = rng.standard_normal((items_n, f)).astype(np.float32)
+    likes = sparse_random(users, items_n, density=0.1,
+                          random_state=rng, format="csr")
+    likes.data[:] = 1.0
+
+    resident = AlternatingLeastSquares(factors=f)
+    resident.user_factors = uf.copy()
+    resident.item_factors = itf.copy()
+    userids = np.arange(40)
+    r_ids, r_scores = resident.recommend(userids, likes[userids], N=8)
+    r_sim, r_simsc = resident.similar_items(np.arange(20), N=6)
+    r_su, _ = resident.similar_users(np.arange(15), N=5)
+    r_sub, _ = resident.recommend(userids[:5], likes[userids[:5]], N=4,
+                                  items=np.arange(0, 120, 3))
+
+    # force every table over the "budget"
+    monkeypatch.setattr(mf_base, "_stream_threshold_bytes", lambda: 1024)
+    streaming = AlternatingLeastSquares(factors=f)
+    streaming.user_factors = uf.copy()
+    streaming.item_factors = itf.copy()
+    s_ids, s_scores = streaming.recommend(userids, likes[userids], N=8)
+    s_sim, s_simsc = streaming.similar_items(np.arange(20), N=6)
+    s_su, _ = streaming.similar_users(np.arange(15), N=5)
+    s_sub, _ = streaming.recommend(userids[:5], likes[userids[:5]], N=4,
+                                   items=np.arange(0, 120, 3))
+
+    np.testing.assert_array_equal(r_ids, s_ids)
+    np.testing.assert_allclose(r_scores, s_scores, rtol=1e-6)
+    np.testing.assert_array_equal(r_sim, s_sim)
+    np.testing.assert_allclose(r_simsc, s_simsc, rtol=1e-5)
+    np.testing.assert_array_equal(r_su, s_su)
+    np.testing.assert_array_equal(r_sub, s_sub)
+    # the table device caches must never have been populated
+    assert streaming._item_factors_dev is None
+    assert streaming._user_factors_dev is None
+
+    # pipelined generators degrade gracefully to the streaming path
+    batches = [np.arange(0, 20), np.arange(20, 40)]
+    out = list(streaming.recommend_pipelined(
+        ((b, likes[b]) for b in batches), N=8))
+    np.testing.assert_array_equal(np.concatenate([i for i, _ in out]), r_ids)
