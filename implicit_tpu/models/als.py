@@ -216,15 +216,18 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
             with tqdm(total=self.iterations, disable=not show_progress) as progress:
                 for iteration in range(self.iterations):
                     s = time.time()
-                    X = als_ops.solve_side(
-                        X, Y, user_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, compute_dtype, use_pallas=use_pallas,
-                    )
-                    Y = als_ops.solve_side(
-                        Y, X, item_buckets, self.regularization, self.use_cg,
-                        self.cg_steps, compute_dtype, use_pallas=use_pallas,
-                    )
-                    X.block_until_ready()
+                    # named step for `jax.profiler.trace` timelines
+                    with jax.profiler.StepTraceAnnotation("als_iteration",
+                                                          step_num=iteration):
+                        X = als_ops.solve_side(
+                            X, Y, user_buckets, self.regularization, self.use_cg,
+                            self.cg_steps, compute_dtype, use_pallas=use_pallas,
+                        )
+                        Y = als_ops.solve_side(
+                            Y, X, item_buckets, self.regularization, self.use_cg,
+                            self.cg_steps, compute_dtype, use_pallas=use_pallas,
+                        )
+                        X.block_until_ready()
                     progress.update(1)
 
                     if self.calculate_training_loss:

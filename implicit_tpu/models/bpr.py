@@ -498,28 +498,31 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
             for epoch in range(self.iterations):
                 s = time.time()
                 key, subkey = jax.random.split(key)
-                if mesh is not None:
-                    X, Y, yb, correct, skipped = _bpr_epoch_sharded(
-                        X, Y, yb, uids, iids, indptr, table_d, subkey,
-                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                        steps, batch, self.verify_negative_samples, bisect_iters, mh, mesh,
-                    )
-                elif fused:
-                    W, yb, correct, skipped = _bpr_epoch_fused(
-                        W, yb, uids, iids, indptr, table_d, subkey,
-                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                        steps, batch, self.verify_negative_samples, bisect_iters, mh,
-                        users,
-                    )
-                else:
-                    X, Y, yb, correct, skipped = _bpr_epoch(
-                        X, Y, yb, uids, iids, indptr, table_d, subkey,
-                        jnp.float32(self.learning_rate), jnp.float32(self.regularization),
-                        steps, batch, self.verify_negative_samples, bisect_iters, mh,
-                        sort_samples=BPR_SORT_SAMPLES,
-                    )
-                correct = int(correct)
-                skipped = int(skipped)
+                # named step for `jax.profiler.trace` timelines
+                with jax.profiler.StepTraceAnnotation("bpr_epoch",
+                                                      step_num=epoch):
+                    if mesh is not None:
+                        X, Y, yb, correct, skipped = _bpr_epoch_sharded(
+                            X, Y, yb, uids, iids, indptr, table_d, subkey,
+                            jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                            steps, batch, self.verify_negative_samples, bisect_iters, mh, mesh,
+                        )
+                    elif fused:
+                        W, yb, correct, skipped = _bpr_epoch_fused(
+                            W, yb, uids, iids, indptr, table_d, subkey,
+                            jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                            steps, batch, self.verify_negative_samples, bisect_iters, mh,
+                            users,
+                        )
+                    else:
+                        X, Y, yb, correct, skipped = _bpr_epoch(
+                            X, Y, yb, uids, iids, indptr, table_d, subkey,
+                            jnp.float32(self.learning_rate), jnp.float32(self.regularization),
+                            steps, batch, self.verify_negative_samples, bisect_iters, mh,
+                            sort_samples=BPR_SORT_SAMPLES,
+                        )
+                    correct = int(correct)
+                    skipped = int(skipped)
                 progress.update(1)
                 if mesh is not None:
                     # each chip draws ceil(batch/n) samples per step

@@ -492,25 +492,28 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
                             arr_u = _reshuffle_arrangement(key_u, arr_u[:span], pmax_u)
                         if window_i:
                             arr_i = _reshuffle_arrangement(key_i, arr_i[:span], pmax_i)
-                # pools snapshot the fixed side's factors once per half-epoch
-                pool_u = _build_pool(Y, arr_u, split) if window_u else arr_u
-                for cls in user_buckets.classes:
-                    key, subkey = jax.random.split(key)
-                    keys = jax.random.split(subkey, cls.n_chunks)
-                    X, dssX = class_update(
-                        X, dssX, Y, pool_u, cls, keys,
-                        int(min(items, cls.L * self.neg_prop)), -2, window_u,
-                    )
-                del pool_u
-                pool_i = _build_pool(X, arr_i, split) if window_i else arr_i
-                for cls in item_buckets.classes:
-                    key, subkey = jax.random.split(key)
-                    keys = jax.random.split(subkey, cls.n_chunks)
-                    Y, dssY = class_update(
-                        Y, dssY, X, pool_i, cls, keys,
-                        int(min(users, cls.L * self.neg_prop)), -1, window_i,
-                    )
-                del pool_i
+                # named step for `jax.profiler.trace` timelines
+                with jax.profiler.StepTraceAnnotation("lmf_epoch",
+                                                      step_num=epoch):
+                    # pools snapshot the fixed side's factors per half-epoch
+                    pool_u = _build_pool(Y, arr_u, split) if window_u else arr_u
+                    for cls in user_buckets.classes:
+                        key, subkey = jax.random.split(key)
+                        keys = jax.random.split(subkey, cls.n_chunks)
+                        X, dssX = class_update(
+                            X, dssX, Y, pool_u, cls, keys,
+                            int(min(items, cls.L * self.neg_prop)), -2, window_u,
+                        )
+                    del pool_u
+                    pool_i = _build_pool(X, arr_i, split) if window_i else arr_i
+                    for cls in item_buckets.classes:
+                        key, subkey = jax.random.split(key)
+                        keys = jax.random.split(subkey, cls.n_chunks)
+                        Y, dssY = class_update(
+                            Y, dssY, X, pool_i, cls, keys,
+                            int(min(users, cls.L * self.neg_prop)), -1, window_i,
+                        )
+                    del pool_i
                 progress.update(1)
                 if callback:
                     # force completion first: dispatches are async, and the

@@ -172,6 +172,7 @@ def shard_items_for_topk(items, item_norms, mesh, axis_name="d", dtype=None):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
+@jax.named_scope("topk_score_select")
 def _topk_core(items, queries, norms, qf_rows, qf_cols, filter_items, k, use_norms, use_qf, use_if):
     # queries follow the item table's dtype: a bf16 table (16-bit-storage
     # models, the reference GPU's fp16 serving — knn.cu:133-142 SgemmEx
