@@ -345,7 +345,8 @@ def bench_quality():
                                            show_progress=False)
             out[name] = round(float(metrics["precision"]), 4)
         except Exception as exc:  # one family must not null the whole gate
-            out[name] = f"FAILED({type(exc).__name__})"
+            out[name] = None  # keep the value numeric-or-null for consumers
+            out[f"{name}_error"] = type(exc).__name__
     return out
 
 

@@ -28,9 +28,8 @@ class _StreamTable:
     host array stays host-resident and row blocks stream per call. Chosen
     automatically when the table wouldn't fit the device memory budget."""
 
-    def __init__(self, array, norms=None):
+    def __init__(self, array):
         self.array = array
-        self.norms = norms
 
 
 class _ReadyFuture:
@@ -243,11 +242,21 @@ class MatrixFactorizationBase(RecommenderBase):
     def _norms_of(self, factors):
         # norms must describe the table the GEMM actually scores: for 16-bit
         # serving, round through the serving dtype first (so cosine
-        # self-similarity stays exactly 1), then accumulate in f32
-        factors = np.asarray(factors)
-        if self._serving_dtype() != np.float32:
-            factors = factors.astype(self._serving_dtype())
-        norms = np.linalg.norm(factors.astype(np.float32, copy=False), axis=-1)
+        # self-similarity stays exactly 1), then accumulate in f32.
+        # Blockwise so a memmapped beyond-RAM table never materializes whole
+        # (the streaming-serving regime; dtype casts copy per block only).
+        if factors.ndim == 1:
+            factors = factors.reshape(1, -1)
+        rounded = self._serving_dtype() if self._serving_dtype() != np.float32 else None
+        n = factors.shape[0]
+        norms = np.empty(n, dtype=np.float32)
+        block = max(1, (1 << 26) // max(factors.shape[1], 1))
+        for s in range(0, n, block):
+            f = np.asarray(factors[s : s + block])
+            if rounded is not None:
+                f = f.astype(rounded)
+            norms[s : s + block] = np.linalg.norm(
+                f.astype(np.float32, copy=False), axis=-1)
         norms[norms == 0] = 1e-10  # avoid divide-by-zero in similarity scoring
         return norms
 
@@ -482,6 +491,13 @@ class MatrixFactorizationBase(RecommenderBase):
         # first next(): bad arguments raise at call time like recommend, and
         # an items= table crosses the transport once for the whole stream
         prep = self._prep_recommend_items(items, filter_items, N, persistent=True)
+        if isinstance(prep[2], _StreamTable):
+            # beyond-budget table: serve ALL batches in ONE pass over the
+            # host table (topk_streaming chunks queries internally) instead
+            # of re-streaming the whole table once per batch
+            return self._recommend_stream_once(
+                batches, prep, filter_already_liked_items, filter_items,
+                recalculate_user)
 
         def dispatches():
             for entry in batches:
@@ -492,6 +508,58 @@ class MatrixFactorizationBase(RecommenderBase):
                 )
 
         return _pipeline(dispatches(), max_in_flight)
+
+    def _recommend_stream_once(self, batches, prep, filter_already_liked_items,
+                               filter_items, recalculate_user):
+        """Streaming-table recommend_pipelined: the query stream is consumed
+        eagerly, every batch's queries/filters concatenate, and one
+        topk_streaming call makes a single pass over the host table. Yields
+        per-batch (ids, scores) identical to per-batch recommend."""
+        from scipy.sparse import vstack
+
+        N, items, item_factors, _ = prep
+        entries = [e if isinstance(e, tuple) else (e, None) for e in batches]
+        if not entries:
+            return iter(())
+
+        users_list, fqi_list, sizes, scalars = [], [], [], []
+        for userid, user_items in entries:
+            if filter_already_liked_items or recalculate_user:
+                if not isinstance(user_items, csr_matrix):
+                    raise ValueError("user_items needs to be a CSR sparse matrix")
+                count = 1 if np.isscalar(userid) else len(userid)
+                if user_items.shape[0] != count:
+                    raise ValueError(
+                        "user_items must contain 1 row for every user in userids")
+            u = np.asarray(self._user_factor(userid, user_items, recalculate_user))
+            users_list.append(u)
+            sizes.append(u.shape[0])
+            scalars.append(np.isscalar(userid))
+            if filter_already_liked_items:
+                fq = user_items
+                if items is not None:
+                    fq = _filter_items_from_sparse_matrix(items, fq)
+                fqi_list.append(fq)
+
+        queries = np.concatenate(users_list)
+        fqi = vstack(fqi_list).tocsr() if fqi_list else None
+        all_ids, all_scores = topk_streaming(
+            item_factors.array, queries, N,
+            filter_query_items=fqi, filter_items=filter_items)
+
+        def gen():
+            offset = 0
+            for n_rows, scalar in zip(sizes, scalars):
+                ids = all_ids[offset : offset + n_rows]
+                scores = all_scores[offset : offset + n_rows]
+                offset += n_rows
+                if scalar:
+                    ids, scores = ids[0], scores[0]
+                if items is not None:
+                    ids = items[ids]
+                yield ids, scores
+
+        return gen()
 
     def recommend_all(
         self,
@@ -620,6 +688,45 @@ class MatrixFactorizationBase(RecommenderBase):
 
         return future, post
 
+    def _similar_stream_once(self, batches, prep, N, filter_ids, subset, get_query):
+        """Streaming-table similar_*_pipelined: all batches' queries
+        concatenate into one topk_streaming pass over the host table (see
+        _recommend_stream_once). Yields per-batch results identical to
+        per-batch similar_* calls."""
+        factors, norms_table, _ = prep
+        qf_list, qn_list, sizes, scalars = [], [], [], []
+        for b in batches:
+            q, qn = get_query(b)
+            q = np.asarray(q)
+            scalar = q.ndim == 1
+            if scalar:
+                q = q.reshape(1, -1)
+            qf_list.append(np.asarray(q, dtype=np.float32))
+            qn_list.append(np.atleast_1d(qn))
+            sizes.append(q.shape[0])
+            scalars.append(scalar)
+        if not qf_list:
+            return iter(())
+
+        all_ids, all_scores = topk_streaming(
+            factors.array, np.concatenate(qf_list), N,
+            item_norms=np.asarray(norms_table), filter_items=filter_ids)
+
+        def gen():
+            offset = 0
+            for qn, n_rows, scalar in zip(qn_list, sizes, scalars):
+                ids = all_ids[offset : offset + n_rows]
+                scores = all_scores[offset : offset + n_rows]
+                offset += n_rows
+                np.divide(scores, qn[:, None], out=scores, where=ids >= 0)
+                if subset is not None:
+                    ids = np.where(ids >= 0, subset[ids], -1)
+                if scalar:
+                    ids, scores = ids[0], scores[0]
+                yield ids, scores
+
+        return gen()
+
     def _similar(self, query_factor, query_norm, factors, norms, N, filter_ids, subset,
                  which=None):
         """Shared core of similar_users / similar_items."""
@@ -678,6 +785,11 @@ class MatrixFactorizationBase(RecommenderBase):
         else:
             table = self._user_factors_on_device()
         prep = self._prep_similar_table(table, norms, sub, "user", persistent=True)
+        if isinstance(prep[0], _StreamTable):
+            # one pass over the host table for the whole stream
+            return self._similar_stream_once(
+                batches, prep, N, filter_users, sub,
+                lambda b: (self.user_factors[b], norms[b]))
 
         def dispatches():
             for userid in batches:
@@ -756,6 +868,11 @@ class MatrixFactorizationBase(RecommenderBase):
         else:
             table = self._item_factors_on_device()
         prep = self._prep_similar_table(table, norms, sub, "item", persistent=True)
+        if isinstance(prep[0], _StreamTable):
+            # one pass over the host table for the whole stream
+            return self._similar_stream_once(
+                batches, prep, N, filter_items, sub,
+                lambda b: (self.item_factors[b], norms[b]))
 
         def dispatches():
             for itemid in batches:

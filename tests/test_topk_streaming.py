@@ -183,3 +183,54 @@ def test_model_auto_streams_beyond_budget(monkeypatch):
     out = list(streaming.recommend_pipelined(
         ((b, likes[b]) for b in batches), N=8))
     np.testing.assert_array_equal(np.concatenate([i for i, _ in out]), r_ids)
+
+
+def test_streaming_pipelined_one_pass(monkeypatch):
+    """With a beyond-budget table, the pipelined generators serve the whole
+    stream in one topk_streaming pass (not one table pass per batch), with
+    results identical to per-batch calls."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.models import mf_base
+
+    rng = np.random.default_rng(13)
+    users, items_n, f = 60, 80, 8
+    likes = sparse_random(users, items_n, density=0.15,
+                          random_state=rng, format="csr")
+    likes.data[:] = 1.0
+
+    model = AlternatingLeastSquares(factors=f)
+    model.user_factors = rng.standard_normal((users, f)).astype(np.float32)
+    model.item_factors = rng.standard_normal((items_n, f)).astype(np.float32)
+
+    monkeypatch.setattr(mf_base, "_stream_threshold_bytes", lambda: 512)
+    calls = []
+    real = mf_base.topk_streaming
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mf_base, "topk_streaming", counting)
+
+    batches = [np.arange(0, 20), np.arange(20, 40), np.arange(40, 60)]
+    out = list(model.recommend_pipelined(
+        ((b, likes[b]) for b in batches), N=6))
+    assert len(calls) == 1, "pipelined stream must make one table pass"
+    ref = model.recommend(np.arange(60), likes, N=6)
+    np.testing.assert_array_equal(np.concatenate([i for i, _ in out]), ref[0])
+
+    calls.clear()
+    sim_out = list(model.similar_items_pipelined(
+        [np.arange(0, 10), np.arange(10, 20)], N=5))
+    assert len(calls) == 1
+    ref_ids, ref_scores = model.similar_items(np.arange(20), N=5)
+    np.testing.assert_array_equal(
+        np.concatenate([i for i, _ in sim_out]), ref_ids)
+    np.testing.assert_allclose(
+        np.concatenate([s for _, s in sim_out]), ref_scores, rtol=1e-5)
+
+    calls.clear()
+    su_out = list(model.similar_users_pipelined([np.arange(0, 8)], N=4))
+    assert len(calls) == 1
+    ref_su, _ = model.similar_users(np.arange(8), N=4)
+    np.testing.assert_array_equal(su_out[0][0], ref_su)
