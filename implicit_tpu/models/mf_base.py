@@ -63,6 +63,51 @@ def _validate_subset(subset, total, what):
     return subset
 
 
+def _validate_user_items(userid, user_items):
+    """The recommend() contract checks on a per-user interaction matrix."""
+    if not isinstance(user_items, csr_matrix):
+        raise ValueError("user_items needs to be a CSR sparse matrix")
+    count = 1 if np.isscalar(userid) else len(userid)
+    if user_items.shape[0] != count:
+        raise ValueError("user_items must contain 1 row for every user in userids")
+
+
+def _post_recommend(ids, scores, scalar, items):
+    """Shared recommend post-processing: scalar squeeze + items= remap.
+
+    The single source for this logic — the async path's post_fn and the
+    streaming-table generators both call it, so their results agree by
+    construction."""
+    if scalar:
+        ids, scores = ids[0], scores[0]
+    if items is not None:
+        ids = items[ids]
+    return ids, scores
+
+
+def _post_similar(ids, scores, query_norm, scalar, subset):
+    """Shared similar_* post-processing: norm divide (sentinel-guarded),
+    subset remap (-1 preserved), scalar squeeze."""
+    if scalar:
+        ids, scores = ids[0], scores[0]
+        norm = query_norm
+    else:
+        norm = query_norm[:, None]
+    # -FLT_MAX padding entries stay sentinels (dividing them overflows)
+    np.divide(scores, norm, out=scores, where=ids >= 0)
+    if subset is not None:
+        # topk pads short result rows with id -1; keep the sentinel rather
+        # than letting it wrap to the subset's last element
+        ids = np.where(ids >= 0, subset[ids], -1)
+    return ids, scores
+
+
+# bound on buffered query rows per table pass of the one-pass pipelined
+# streaming path: host/device memory stays ~rows x (F + k) while table
+# passes drop to ceil(total_rows / this) instead of one per batch
+_STREAM_PASS_ROWS = 65536
+
+
 def _pipeline(dispatches, max_in_flight):
     """Drains an iterator of ``(future, post_fn)`` pairs through a bounded
     in-flight window, yielding ``post_fn(*future.result())`` in input order
@@ -370,11 +415,7 @@ class MatrixFactorizationBase(RecommenderBase):
         (streaming callers prep once for the whole stream).
         """
         if filter_already_liked_items or recalculate_user:
-            if not isinstance(user_items, csr_matrix):
-                raise ValueError("user_items needs to be a CSR sparse matrix")
-            user_count = 1 if np.isscalar(userid) else len(userid)
-            if user_items.shape[0] != user_count:
-                raise ValueError("user_items must contain 1 row for every user in userids")
+            _validate_user_items(userid, user_items)
 
         user = self._user_factor(userid, user_items, recalculate_user)
 
@@ -408,11 +449,7 @@ class MatrixFactorizationBase(RecommenderBase):
             )
 
         def post(ids, scores):
-            if np.isscalar(userid):
-                ids, scores = ids[0], scores[0]
-            if items is not None:
-                ids = items[ids]
-            return ids, scores
+            return _post_recommend(ids, scores, np.isscalar(userid), items)
 
         return future, post
 
@@ -511,53 +548,69 @@ class MatrixFactorizationBase(RecommenderBase):
 
     def _recommend_stream_once(self, batches, prep, filter_already_liked_items,
                                filter_items, recalculate_user):
-        """Streaming-table recommend_pipelined: the query stream is consumed
-        eagerly, every batch's queries/filters concatenate, and one
-        topk_streaming call makes a single pass over the host table. Yields
-        per-batch (ids, scores) identical to per-batch recommend."""
-        from scipy.sparse import vstack
-
+        """Streaming-table recommend_pipelined: batches buffer lazily up to
+        ``_STREAM_PASS_ROWS`` query rows, then each buffered group serves in
+        ONE topk_streaming pass over the host table — table passes scale
+        with total queries / pass size instead of one per batch, while
+        host/device memory stays bounded by the pass size. Yields per-batch
+        (ids, scores) identical to per-batch recommend."""
         N, items, item_factors, _ = prep
-        entries = [e if isinstance(e, tuple) else (e, None) for e in batches]
-        if not entries:
-            return iter(())
+        n_cols = len(items) if items is not None else item_factors.array.shape[0]
 
-        users_list, fqi_list, sizes, scalars = [], [], [], []
-        for userid, user_items in entries:
-            if filter_already_liked_items or recalculate_user:
-                if not isinstance(user_items, csr_matrix):
-                    raise ValueError("user_items needs to be a CSR sparse matrix")
-                count = 1 if np.isscalar(userid) else len(userid)
-                if user_items.shape[0] != count:
-                    raise ValueError(
-                        "user_items must contain 1 row for every user in userids")
-            u = np.asarray(self._user_factor(userid, user_items, recalculate_user))
-            users_list.append(u)
-            sizes.append(u.shape[0])
-            scalars.append(np.isscalar(userid))
+        def flush(group):
+            # group entries: (queries, filter_rows, filter_cols, n_rows, scalar)
+            queries = np.concatenate([g[0] for g in group])
+            fqi = None
             if filter_already_liked_items:
-                fq = user_items
-                if items is not None:
-                    fq = _filter_items_from_sparse_matrix(items, fq)
-                fqi_list.append(fq)
-
-        queries = np.concatenate(users_list)
-        fqi = vstack(fqi_list).tocsr() if fqi_list else None
-        all_ids, all_scores = topk_streaming(
-            item_factors.array, queries, N,
-            filter_query_items=fqi, filter_items=filter_items)
+                rows, cols, offset = [], [], 0
+                for _, fr, fc, n_rows, _ in group:
+                    rows.append(fr + offset)
+                    cols.append(fc)
+                    offset += n_rows
+                rows = np.concatenate(rows) if rows else np.empty(0, np.int64)
+                cols = np.concatenate(cols) if cols else np.empty(0, np.int64)
+                fqi = csr_matrix(
+                    (np.ones(len(rows), dtype=np.float32), (rows, cols)),
+                    shape=(offset, n_cols))
+            all_ids, all_scores = topk_streaming(
+                item_factors.array, queries, N,
+                filter_query_items=fqi, filter_items=filter_items)
+            offset = 0
+            for _, _, _, n_rows, scalar in group:
+                yield _post_recommend(
+                    all_ids[offset : offset + n_rows],
+                    all_scores[offset : offset + n_rows], scalar, items)
+                offset += n_rows
 
         def gen():
-            offset = 0
-            for n_rows, scalar in zip(sizes, scalars):
-                ids = all_ids[offset : offset + n_rows]
-                scores = all_scores[offset : offset + n_rows]
-                offset += n_rows
-                if scalar:
-                    ids, scores = ids[0], scores[0]
-                if items is not None:
-                    ids = items[ids]
-                yield ids, scores
+            group, rows = [], 0
+            for entry in batches:
+                userid, user_items = entry if isinstance(entry, tuple) else (entry, None)
+                if filter_already_liked_items or recalculate_user:
+                    _validate_user_items(userid, user_items)
+                u = np.asarray(
+                    self._user_factor(userid, user_items, recalculate_user),
+                    dtype=np.float32)
+                if u.ndim == 1:  # scalar recalculate returns a single row
+                    u = u.reshape(1, -1)
+                fr = fc = None
+                if filter_already_liked_items:
+                    fq = user_items
+                    if items is not None:
+                        fq = _filter_items_from_sparse_matrix(items, fq)
+                    coo = fq.tocoo()
+                    # filter cols are global ids: batches may carry matrices
+                    # of differing widths; out-of-catalog ids are no-ops
+                    keep = coo.col < n_cols
+                    fr = coo.row[keep].astype(np.int64)
+                    fc = coo.col[keep].astype(np.int64)
+                group.append((u, fr, fc, u.shape[0], np.isscalar(userid)))
+                rows += u.shape[0]
+                if rows >= _STREAM_PASS_ROWS:
+                    yield from flush(group)
+                    group, rows = [], 0
+            if group:
+                yield from flush(group)
 
         return gen()
 
@@ -672,58 +725,50 @@ class MatrixFactorizationBase(RecommenderBase):
             )
 
         def post(ids, scores):
-            if np.isscalar(query_norm):
-                ids, scores = ids[0], scores[0]
-                norm = query_norm
-            else:
-                norm = query_norm[:, None]
-            # -FLT_MAX padding entries stay sentinels (dividing them overflows)
-            np.divide(scores, norm, out=scores, where=ids >= 0)
-
-            if subset is not None:
-                # topk pads short result rows with id -1; keep the sentinel
-                # rather than letting it wrap to the subset's last element
-                ids = np.where(ids >= 0, subset[ids], -1)
-            return ids, scores
+            return _post_similar(ids, scores, query_norm,
+                                 np.isscalar(query_norm), subset)
 
         return future, post
 
     def _similar_stream_once(self, batches, prep, N, filter_ids, subset, get_query):
-        """Streaming-table similar_*_pipelined: all batches' queries
-        concatenate into one topk_streaming pass over the host table (see
+        """Streaming-table similar_*_pipelined: batches buffer lazily up to
+        ``_STREAM_PASS_ROWS`` query rows, each buffered group serving in one
+        topk_streaming pass over the host table (see
         _recommend_stream_once). Yields per-batch results identical to
         per-batch similar_* calls."""
         factors, norms_table, _ = prep
-        qf_list, qn_list, sizes, scalars = [], [], [], []
-        for b in batches:
-            q, qn = get_query(b)
-            q = np.asarray(q)
-            scalar = q.ndim == 1
-            if scalar:
-                q = q.reshape(1, -1)
-            qf_list.append(np.asarray(q, dtype=np.float32))
-            qn_list.append(np.atleast_1d(qn))
-            sizes.append(q.shape[0])
-            scalars.append(scalar)
-        if not qf_list:
-            return iter(())
+        norms_np = np.asarray(norms_table)
 
-        all_ids, all_scores = topk_streaming(
-            factors.array, np.concatenate(qf_list), N,
-            item_norms=np.asarray(norms_table), filter_items=filter_ids)
-
-        def gen():
+        def flush(group):
+            queries = np.concatenate([g[0] for g in group])
+            all_ids, all_scores = topk_streaming(
+                factors.array, queries, N,
+                item_norms=norms_np, filter_items=filter_ids)
             offset = 0
-            for qn, n_rows, scalar in zip(qn_list, sizes, scalars):
+            for _, qn, n_rows, scalar in group:
                 ids = all_ids[offset : offset + n_rows]
                 scores = all_scores[offset : offset + n_rows]
                 offset += n_rows
-                np.divide(scores, qn[:, None], out=scores, where=ids >= 0)
-                if subset is not None:
-                    ids = np.where(ids >= 0, subset[ids], -1)
+                yield _post_similar(ids, scores,
+                                    float(qn[0]) if scalar else qn,
+                                    scalar, subset)
+
+        def gen():
+            group, rows = [], 0
+            for b in batches:
+                q, qn = get_query(b)
+                q = np.asarray(q)
+                scalar = q.ndim == 1
                 if scalar:
-                    ids, scores = ids[0], scores[0]
-                yield ids, scores
+                    q = q.reshape(1, -1)
+                group.append((np.asarray(q, dtype=np.float32),
+                              np.atleast_1d(qn), q.shape[0], scalar))
+                rows += q.shape[0]
+                if rows >= _STREAM_PASS_ROWS:
+                    yield from flush(group)
+                    group, rows = [], 0
+            if group:
+                yield from flush(group)
 
         return gen()
 

@@ -234,3 +234,48 @@ def test_streaming_pipelined_one_pass(monkeypatch):
     assert len(calls) == 1
     ref_su, _ = model.similar_users(np.arange(8), N=4)
     np.testing.assert_array_equal(su_out[0][0], ref_su)
+
+
+def test_streaming_pipelined_bounded_passes(monkeypatch):
+    """Big streams buffer in bounded groups: more than one table pass, but
+    far fewer than one per batch, memory bounded by the pass size; scalar
+    userids with recalculate_user work too."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.models import mf_base
+
+    rng = np.random.default_rng(14)
+    users, items_n, f = 48, 64, 8
+    likes = sparse_random(users, items_n, density=0.2,
+                          random_state=rng, format="csr")
+    likes.data[:] = 1.0
+
+    model = AlternatingLeastSquares(factors=f, regularization=0.1)
+    model.fit(likes, show_progress=False)
+
+    monkeypatch.setattr(mf_base, "_stream_threshold_bytes", lambda: 256)
+    monkeypatch.setattr(mf_base, "_STREAM_PASS_ROWS", 20)
+    calls = []
+    real = mf_base.topk_streaming
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mf_base, "topk_streaming", counting)
+
+    batches = [np.arange(s, s + 8) for s in range(0, 48, 8)]  # 6 batches
+    out = list(model.recommend_pipelined(
+        ((b, likes[b]) for b in batches), N=6))
+    assert 1 < len(calls) < len(batches)  # grouped passes, not per-batch
+    ref_ids, _ = model.recommend(np.arange(48), likes, N=6)
+    np.testing.assert_array_equal(np.concatenate([i for i, _ in out]), ref_ids)
+
+    # scalar userids + recalculate_user through the streaming group path
+    out2 = list(model.recommend_pipelined(
+        ((int(u), likes[u]) for u in range(5)), N=4, recalculate_user=True))
+    for u, (ids, scores) in enumerate(out2):
+        assert ids.shape == (4,)
+        r_ids, r_scores = model.recommend(int(u), likes[u], N=4,
+                                          recalculate_user=True)
+        np.testing.assert_array_equal(ids, r_ids)
+        np.testing.assert_allclose(scores, r_scores, rtol=1e-5)
