@@ -314,6 +314,25 @@ def bench_serving_ivf(Cui, factors=128, batch=1024, n_batches=4, k=10):
             "recall_at_10_vs_exact": round(recall, 3)}
 
 
+def bench_serving_streaming(factors=128, batch=1024, k=10):
+    """Exact top-k from a HOST-resident table (the beyond-HBM serving path):
+    wall time for one pass + id agreement vs the resident engine."""
+    from implicit_tpu.ops.topk import topk, topk_streaming
+
+    rng = np.random.default_rng(3)
+    items = rng.standard_normal((ITEMS, factors)).astype(np.float32)
+    queries = rng.standard_normal((batch, factors)).astype(np.float32)
+
+    topk_streaming(items, queries, k)  # warmup / compile
+    t0 = time.time()
+    ids_s, _ = topk_streaming(items, queries, k)
+    wall = time.time() - t0
+    ids_r, _ = topk(items, queries, k)
+    agreement = float(np.mean([
+        len(np.intersect1d(a, b)) / k for a, b in zip(ids_s, ids_r)]))
+    return {"users_per_s": round(batch / wall), "agreement_vs_resident": agreement}
+
+
 def bench_quality():
     """End-to-end p@10 per model family on a clustered synthetic set
     (3000x600, 20 groups) — the quality-parity gate across families."""
@@ -448,6 +467,14 @@ def main():
     ivf = stage("serving_ivf", lambda: bench_serving_ivf(Cui))
     extras["ivf_recommend_batch1024_160k_items"] = {
         "value": ivf, "note": None if ivf else "stage timed out or failed"}
+    # beyond-HBM capability row: exact serving from a host-resident table.
+    # Through the dev tunnel every pass re-uploads the table at ~24MB/s, so
+    # this measures the transport, not the design (colocated hosts stream at
+    # PCIe/DMA rates); recorded for the capability, with exactness checked.
+    strm = stage("serving_streaming", lambda: bench_serving_streaming())
+    extras["topk_streaming_batch1024_160k_items"] = {
+        "value": strm, "note": "host-table exact serving; tunnel-bound here"
+        if strm else "stage timed out or failed"}
 
     bpr_s = stage("bpr", lambda: bench_sgd_epochs(
         BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
