@@ -28,6 +28,24 @@ from .mf_base import MatrixFactorizationBase
 log = logging.getLogger("implicit_tpu")
 
 
+def _drop_stored_zeros(csr):
+    """Removes explicitly stored zero entries before bucketing.
+
+    The packed kernels use data==0 as the padding sentinel, so a stored
+    zero would silently act as padding; dropping it makes the semantics
+    explicit: a zero entry is "unobserved" (P=0, background C=1). The
+    reference's scalar loop instead reads a stored zero as a confidence-0
+    dislike, subtracting that item's background contribution
+    (_als.pyx:115-118) — a corner we intentionally diverge on (documented
+    in DESIGN.md); matrices without stored zeros (the normal case, and
+    anything run through scipy eliminate_zeros()) are identical.
+    """
+    if csr.nnz and not csr.data.all():
+        csr = csr.copy()
+        csr.eliminate_zeros()
+    return csr
+
+
 class AlternatingLeastSquares(MatrixFactorizationBase):
     """Alternating Least Squares.
 
@@ -148,6 +166,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         Cui = check_csr(user_items)
         if Cui.dtype != solve_dtype:
             Cui = Cui.astype(solve_dtype)
+        Cui = _drop_stored_zeros(Cui)
 
         if self.alpha != 1.0:
             Cui = self.alpha * Cui
@@ -328,7 +347,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
 
     def _solve_rows(self, row_items, other_factors, gram):
         """Cholesky-solve factors for the rows of ``row_items`` against fixed factors."""
-        buckets = BucketedCSR(row_items).to_device()
+        buckets = BucketedCSR(_drop_stored_zeros(row_items)).to_device()
         rows = row_items.shape[0]
         X = jnp.zeros((rows, self.factors), dtype=jnp.float32)
         Y = jnp.asarray(other_factors, dtype=jnp.float32)

@@ -266,8 +266,6 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
                      use_pallas, packed_gather=False):
-    from . import pallas_ops
-
     YtY_reg = gramian(Y, reg)
     Yparts = Y.astype(compute_dtype)
     factors = X.shape[1]
@@ -275,6 +273,22 @@ def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_d
         # half-lane packed gather table (see the gather-speed NOTE above);
         # _gather_rows reinterprets each gathered block back to bf16
         Yparts = _pack_table(Yparts)
+    return _solve_side_core(X, Yparts, YtY_reg, classes, empty_rows, use_cg,
+                            cg_steps, compute_dtype, use_pallas)
+
+
+def _solve_side_core(X, Yparts, YtY_reg, classes, empty_rows, use_cg, cg_steps,
+                     compute_dtype, use_pallas):
+    """Half-iteration solve with the gather table and gramian precomputed.
+
+    Lets multi-chip callers supply a psum-reduced gramian and a gather
+    table all-gathered directly in the compute dtype (half the ICI bytes
+    for 16-bit modes) instead of re-deriving both from a full-precision
+    gathered copy.
+    """
+    from . import pallas_ops
+
+    factors = X.shape[1]
     max_l = _full_cg_max_l(compute_dtype, factors)
     itemsize = jnp.dtype(compute_dtype).itemsize
     for crows, cidx, cdat in classes:
@@ -332,6 +346,10 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
     the interaction tensors are uploaded once per fit, not once per call.
     Mirrors the reference iteration structure (implicit/cpu/als.py:162-177):
     rows with no interactions are zeroed, every other row re-solved.
+
+    NOTE: ``X`` is DONATED — its device buffer is consumed into the result
+    (zero-copy iteration); using the passed-in array afterwards raises
+    "Array has been deleted". Pass ``X + 0.0`` to keep a live copy.
     """
     from ..sparse import BucketedCSR
 
@@ -354,6 +372,9 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
 
     Dispatches are enqueued without host synchronization, so the transport
     round-trip is paid once per fit, not per iteration.
+
+    NOTE: ``X`` and ``Y`` are DONATED into the iteration chain; the passed
+    arrays are invalid afterwards (pass ``X + 0.0`` to keep a live copy).
     """
     if jnp.dtype(compute_dtype) == jnp.float64:
         use_pallas = False  # the Pallas kernels are f32/bf16-only
@@ -427,16 +448,18 @@ def cho_solve_scan(X, Y, YtY_reg, rows, idx, dat):
 
 @jax.jit
 def _loss_chunk_terms(X, Y, YtY, rows, idx, dat):
-    """Accumulates sum_u r.x and sum |c| over stacked chunks.
+    """Per-chunk partial sums of sum_u r.x and sum |c| over stacked chunks.
 
     Follows /root/reference/implicit/cpu/_als.pyx:_calculate_loss:259-308:
     per user r = YtY x + sum_i [(-2 c_i^+) + (|c_i|-1)(y_i.x)] y_i, summed as
-    r.x, plus the sum of absolute confidences.
+    r.x, plus the sum of absolute confidences. Returns (n_chunks,) f32
+    partials rather than scalars so callers can accumulate across chunks in
+    f64 on the host (the reference uses double accumulators; f32
+    carry-adds would make the loss metric noisy at large nnz*alpha).
     """
     n_rows = X.shape[0]
 
     def chunk_step(carry, chunk):
-        loss_acc, conf_acc = carry
         crows, cidx, cdat = chunk
         valid = crows < n_rows
         x = X[jnp.clip(crows, 0, n_rows - 1)]
@@ -449,13 +472,9 @@ def _loss_chunk_terms(X, Y, YtY, rows, idx, dat):
         r = jnp.dot(x, YtY, precision=HIGH) + jnp.einsum(
             "cl,clf->cf", temp, Yu, precision=HIGH
         )
-        loss_acc = loss_acc + jnp.sum(r * x).astype(loss_acc.dtype)
-        conf_acc = conf_acc + jnp.sum(jnp.where(mask, conf, 0.0)).astype(conf_acc.dtype)
-        return (loss_acc, conf_acc), None
+        return carry, (jnp.sum(r * x), jnp.sum(jnp.where(mask, conf, 0.0)))
 
-    (loss, conf), _ = jax.lax.scan(
-        chunk_step, (jnp.float32(0.0), jnp.float32(0.0)), (rows, idx, dat)
-    )
+    _, (loss, conf) = jax.lax.scan(chunk_step, None, (rows, idx, dat))
     return loss, conf
 
 
@@ -466,12 +485,14 @@ def calculate_loss_bucketed(buckets, X, Y, reg):
     if isinstance(buckets, BucketedCSR):
         buckets = buckets.to_device()
     YtY = jnp.dot(Y.T, Y, precision=HIGH, preferred_element_type=jnp.float32)
+    # per-chunk f32 partials, accumulated in f64 on the host — the
+    # reference's double accumulators (_als.pyx 'cdef double loss')
     loss = 0.0
     total_conf = 0.0
     for cls in buckets.classes:
         l, c = _loss_chunk_terms(X, Y, YtY, cls.rows, cls.indices, cls.data)
-        loss += float(l)
-        total_conf += float(c)
+        loss += float(np.sum(np.asarray(l, dtype=np.float64)))
+        total_conf += float(np.sum(np.asarray(c, dtype=np.float64)))
     loss += total_conf  # the sum-of-confidences term (P_ui^2 * C_ui)
     loss += float(reg) * (float(jnp.sum(X * X)) + float(jnp.sum(Y * Y)))
     users, items = buckets.shape

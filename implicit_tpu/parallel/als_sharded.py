@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.als import _solve_side_impl, _loss_chunk_terms
+from ..ops.als import _loss_chunk_terms, _solve_side_core
 
 
 def _block(n_rows, D):
@@ -118,19 +118,14 @@ class RowShardedBuckets:
         else:
             self.empty_rows = None
 
-        # length class per row — same grids as sparse.BucketedCSR
+        # length class per row — the shared bucketing grid (sparse.py)
+        from ..sparse import chunk_pieces, length_class_grid
+
         nonempty = np.where(nnz_per_row > 0)[0]
         self.classes = []
         if len(nonempty) == 0:
             return
-        n = nnz_per_row[nonempty]
-        p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
-        L_per_row = np.maximum(min_L, p)
-        if grid != "pow2":
-            for eighths in (7, 6, 5):
-                cand = (eighths * p) // 8
-                ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
-                L_per_row = np.where(ok, cand, L_per_row)
+        L_per_row = length_class_grid(nnz_per_row[nonempty], min_L, grid)
 
         for L in np.unique(L_per_row):
             L = int(L)
@@ -138,36 +133,51 @@ class RowShardedBuckets:
             sels = []
             for k in range(D):
                 sel = in_class[in_class % D == k]
-                # first-column ordering: consecutive rows gather nearby
-                # factor rows (same locality trick as the host packer)
-                sel = sel[np.argsort(csr_indices[indptr[sel]], kind="stable")]
+                # order by the first column's position IN THE GATHERED
+                # (shard-order) table — consecutive chunk rows then gather
+                # nearby factor rows, the host packer's locality trick;
+                # sorting by the raw global id would interleave D distant
+                # shard blocks instead
+                first = csr_indices[indptr[sel]].astype(np.int64)
+                key = (first % D) * self.col_block + first // D
+                sel = sel[np.argsort(key, kind="stable")]
                 sels.append(sel)
             count = max(len(s) for s in sels)
-            C = max(8, (min(max_chunk_rows, target_entries // L) // 8) * 8)
-            C = min(C, max(8, -(-count // 8) * 8))
-            n_chunks = -(-count // C)
-            padded = n_chunks * C
+            packed = []
+            for sel in sels:
+                if len(sel):
+                    pi, pd = native.pack_ragged(
+                        indptr, csr_indices, csr_data, sel.astype(np.int32),
+                        L, dtype=csr_data.dtype)
+                    # pre-permute column ids into the gathered table's shard
+                    # order; padding entries (id 0, data 0) stay in range
+                    pi = (pi % D) * self.col_block + pi // D
+                else:
+                    pi = pd = None
+                packed.append((pi, pd))
 
-            rows = np.full((D, padded), self.block, dtype=np.int32)
-            idx = np.zeros((D, padded, L), dtype=np.int32)
-            dat = np.zeros((D, padded, L), dtype=csr_data.dtype)
-            for k, sel in enumerate(sels):
-                if not len(sel):
-                    continue
-                rows[k, : len(sel)] = (sel // D).astype(np.int32)
-                pi, pd = native.pack_ragged(
-                    indptr, csr_indices, csr_data, sel.astype(np.int32), L,
-                    dtype=csr_data.dtype)
-                # pre-permute column ids into the gathered table's shard
-                # order; padding entries (id 0, data 0) stay in range
-                idx[k, : len(sel)] = (pi % D) * self.col_block + pi // D
-                dat[k, : len(sel)] = pd
-            self.classes.append(_ShardedClass(
-                L,
-                jax.device_put(rows.reshape(D, n_chunks, C), row_shd),
-                jax.device_put(idx.reshape(D, n_chunks, C, L), ent_shd),
-                jax.device_put(dat.reshape(D, n_chunks, C, L), ent_shd),
-            ))
+            # shared chunk layout incl. the tightly-sized remainder piece
+            # (chips share the chunk structure: shorter chips pad with the
+            # sentinel within each piece)
+            for start, stop, n_chunks, C in chunk_pieces(
+                    count, L, target_entries, max_chunk_rows):
+                padded = n_chunks * C
+                rows = np.full((D, padded), self.block, dtype=np.int32)
+                idx = np.zeros((D, padded, L), dtype=np.int32)
+                dat = np.zeros((D, padded, L), dtype=csr_data.dtype)
+                for k, (sel, (pi, pd)) in enumerate(zip(sels, packed)):
+                    here = max(0, min(stop, len(sel)) - start)
+                    if not here:
+                        continue
+                    rows[k, :here] = (sel[start : start + here] // D).astype(np.int32)
+                    idx[k, :here] = pi[start : start + here]
+                    dat[k, :here] = pd[start : start + here]
+                self.classes.append(_ShardedClass(
+                    L,
+                    jax.device_put(rows.reshape(D, n_chunks, C), row_shd),
+                    jax.device_put(idx.reshape(D, n_chunks, C, L), ent_shd),
+                    jax.device_put(dat.reshape(D, n_chunks, C, L), ent_shd),
+                ))
 
 
 def _class_tuples(sharded):
@@ -202,16 +212,36 @@ def _build_step(mesh, axis_name, uspec_key, ispec_key, use_cg,
         P(),
     )
 
+    cd = jnp.dtype(compute_dtype)
+
     def run(X, Y, uclasses, uempty, iclasses, iempty, reg):
         sq = lambda t: tuple((r[0], i[0], d[0]) for r, i, d in t)  # noqa: E731
         uc, ic = sq(uclasses), sq(iclasses)
         ue = None if uempty is None else uempty[0]
         ie = None if iempty is None else iempty[0]
-        Yf = jax.lax.all_gather(Y, axis_name, axis=0, tiled=True)
-        X = _solve_side_impl(X, Yf, reg, uc, ue, use_cg, cg_steps,
+
+        def gather_side(side):
+            """(compute-dtype gathered table, f32 regularized gramian).
+
+            The gramian is a psum of per-chip local gramians — exactly the
+            full-table gramian up to f32 summation order — so the big
+            all-gather can move the table in the compute dtype directly
+            (half the ICI bytes in 16-bit modes) instead of f32.
+            """
+            local = jnp.dot(side.T, side,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            gram = jax.lax.psum(local, axis_name) + reg * jnp.eye(
+                side.shape[1], dtype=jnp.float32)
+            table = jax.lax.all_gather(side.astype(cd), axis_name, axis=0,
+                                       tiled=True)
+            return table, gram
+
+        Yf, YtY = gather_side(Y)
+        X = _solve_side_core(X, Yf, YtY, uc, ue, use_cg, cg_steps,
                              compute_dtype, use_pallas)
-        Xf = jax.lax.all_gather(X, axis_name, axis=0, tiled=True)
-        Y = _solve_side_impl(Y, Xf, reg, ic, ie, use_cg, cg_steps,
+        Xf, XtX = gather_side(X)
+        Y = _solve_side_core(Y, Xf, XtX, ic, ie, use_cg, cg_steps,
                              compute_dtype, use_pallas)
         return X, Y
 
@@ -270,8 +300,9 @@ def _build_loss(mesh, axis_name, n_classes):
         loss = jnp.float32(0.0)
         conf = jnp.float32(0.0)
         for rows, idx, dat in classes:
+            # per-chunk partials; device f32 sum (depth = n_chunks, small)
             l, c = _loss_chunk_terms(X, Yf, YtY, rows[0], idx[0], dat[0])
-            loss, conf = loss + l, conf + c
+            loss, conf = loss + jnp.sum(l), conf + jnp.sum(c)
         return (jax.lax.psum(loss, axis_name)[None],
                 jax.lax.psum(conf, axis_name)[None])
 

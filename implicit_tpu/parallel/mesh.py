@@ -31,6 +31,16 @@ def create_mesh(n_devices=None, axis_name="d"):
             ParameterWarning,
         )
         devices = jax.devices("cpu")
+        if len(devices) < n_devices:
+            # never truncate silently: a "mesh=8" model landing on a 1-device
+            # mesh would quietly abandon the requested parallelism
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) exist on any backend; set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} for a virtual CPU mesh, or pass "
+                f"mesh<={len(devices)}"
+            )
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 

@@ -26,6 +26,42 @@ def _next_pow2(x):
     return 1 << int(np.ceil(np.log2(max(int(x), 1))))
 
 
+def length_class_grid(nnz_per_row, min_L=8, grid="fine"):
+    """Padded length L per row on the shared bucketing grid.
+
+    grid="fine": eighth-power-of-two steps (8, 16, 24, 32, 40, 48, 56, 64,
+    80, ...) — every step a multiple of the 8-sublane tile, <=1.17x ratio,
+    ~7% average in-row padding. grid="pow2": powers of two only — ~4x fewer
+    classes (so ~4x fewer compiled programs), ~30% padding. The single
+    source of the grid for BucketedCSR and the row-sharded builder.
+    """
+    n = np.asarray(nnz_per_row, dtype=np.int64)
+    p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
+    L_per_row = np.maximum(min_L, p)
+    if grid != "pow2":
+        for eighths in (7, 6, 5):
+            cand = (eighths * p) // 8
+            ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
+            L_per_row = np.where(ok, cand, L_per_row)
+    return L_per_row
+
+
+def chunk_pieces(count, L, target_entries, max_chunk_rows):
+    """[(start, stop, n_chunks, C)] chunk layout for ``count`` rows of
+    padded length L. C stays a multiple of the 8-row sublane tile; a
+    partially-filled final chunk becomes its own tightly-sized piece, since
+    sentinel padding rows still cost full gather/kernel work."""
+    C = max(8, (min(max_chunk_rows, target_entries // L) // 8) * 8)
+    full_chunks = count // C
+    remainder = count - full_chunks * C
+    pieces = []
+    if full_chunks:
+        pieces.append((0, full_chunks * C, full_chunks, C))
+    if remainder:
+        pieces.append((full_chunks * C, count, 1, max(8, -(-remainder // 8) * 8)))
+    return pieces
+
+
 class BucketClass:
     """All rows whose nnz fits one padded length L, stacked into chunks."""
 
@@ -78,24 +114,11 @@ class BucketedCSR:
         if len(nonempty) == 0:
             return
 
-        # length class per row: eighth-power-of-two grid (8, 16, 24, 32, 40,
-        # 48, 56, 64, 80, 96, 112, 128, ...) floored at min_L. Every step is
-        # a multiple of the 8-sublane tile; the <= 1.17x step ratio keeps the
-        # average in-row padding under ~7% (pure powers of two waste ~30%,
-        # and the padding multiplies through every downstream stage: the
-        # factor gather, the HBM block traffic, and the solver flops).
-        # grid="pow2" keeps only the power-of-two lengths: ~4x fewer classes,
-        # so ~4x fewer compiled programs and per-epoch dispatches — the right
-        # trade for the SGD models, whose epochs are far cheaper than their
-        # compiles and whose padding doesn't multiply into a solver
-        n = nnz_per_row[nonempty]
-        p = (1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
-        L_per_row = np.maximum(min_L, p)
-        if grid != "pow2":
-            for eighths in (7, 6, 5):
-                cand = (eighths * p) // 8
-                ok = (n <= cand) & (cand % 8 == 0) & (cand >= min_L)
-                L_per_row = np.where(ok, cand, L_per_row)
+        # length class per row — see length_class_grid for the fine-vs-pow2
+        # padding/compile-count trade. "fine" is right for ALS (padding
+        # multiplies into the solver flops); "pow2" for the SGD models,
+        # whose epochs are far cheaper than their compiles
+        L_per_row = length_class_grid(nnz_per_row[nonempty], min_L, grid)
 
         for L in np.unique(L_per_row):
             L = int(L)
@@ -106,22 +129,11 @@ class BucketedCSR:
             lens = nnz_per_row[sel].astype(np.int32)
             count = len(sel)
 
-            # chunk width is kept a multiple of the 8-row sublane tile: the
-            # Pallas solvers tile rows in groups of 8, and grouped negative
-            # pools (models/lmf.py) reshape chunks into 8-row groups
-            C = max(8, (min(max_chunk_rows, target_entries // L) // 8) * 8)
-            # a partially-filled final chunk is stored as its own
-            # tightly-sized class: padding rows would otherwise multiply
-            # into wasted gather/compute (the sentinel rows still cost full
-            # kernel work)
-            full_chunks = count // C
-            remainder = count - full_chunks * C
-            pieces = []
-            if full_chunks:
-                pieces.append((0, full_chunks * C, full_chunks, C))
-            if remainder:
-                rem_C = max(8, -(-remainder // 8) * 8)
-                pieces.append((full_chunks * C, count, 1, rem_C))
+            # chunk layout (shared helper): C a multiple of the 8-row
+            # sublane tile (the Pallas solvers tile rows in groups of 8 and
+            # LMF's pools reshape chunks into 8-row groups); remainder rows
+            # get their own tightly-sized piece
+            pieces = chunk_pieces(count, L, target_entries, max_chunk_rows)
 
             if not metadata_only:
                 # ragged -> padded copy (native C++ packer, numpy fallback

@@ -293,3 +293,31 @@ def test_concurrent_aot_compile_path_active(caplog):
         model.fit(likes, show_progress=False)
     bad = [r for r in caplog.records if "AOT compile failed" in r.getMessage()]
     assert not bad, bad
+
+
+def test_stored_zeros_treated_as_unobserved():
+    # explicitly stored zeros must not be read as packing padding mid-row:
+    # ingestion drops them, giving the same factors as an eliminated matrix
+    import scipy.sparse as sp
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(0)
+    dense = (rng.random((40, 25)) < 0.2) * rng.integers(1, 9, (40, 25))
+    with_zeros = sp.csr_matrix(dense.astype(np.float32))
+    # insert explicit zeros into half the rows' first stored entry
+    wz = with_zeros.copy()
+    for r in range(0, 40, 2):
+        lo, hi = wz.indptr[r], wz.indptr[r + 1]
+        if hi > lo:
+            wz.data[lo] = 0.0
+    clean = wz.copy()
+    clean.eliminate_zeros()
+
+    a = AlternatingLeastSquares(factors=8, iterations=5, random_state=3)
+    a.fit(wz, show_progress=False)
+    b = AlternatingLeastSquares(factors=8, iterations=5, random_state=3)
+    b.fit(clean, show_progress=False)
+    np.testing.assert_allclose(a.user_factors, b.user_factors, atol=1e-6)
+    # the caller's matrix is untouched
+    assert (wz.data == 0).any()
