@@ -74,6 +74,51 @@ class _ShardedClass:
         self.data = data          # (D, n, C, L)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_pack(mesh, axis_name, n_classes, Ls, D, col_block):
+    """Compiled per-chip packing program (cached per mesh/class structure).
+
+    Each chip gathers its padded class tensors out of its own flat CSR
+    slice — the sharded twin of sparse._get_pack_all — and applies the
+    shard-order column permutation on device, so only the raw flats
+    (~nnz*8 bytes total, sharded) cross the host->device transport instead
+    of the fully padded class tensors.
+    """
+    from jax import shard_map
+
+    a = axis_name
+    cls_spec = (P(a, None, None), P(a, None, None))
+
+    def run(flat_idx, flat_dat, indptr, rows_lens):
+        flat_idx, flat_dat, indptr = flat_idx[0], flat_dat[0], indptr[0]
+        out = []
+        for (rows, lens), L in zip(rows_lens, Ls):
+            _, n_chunks, C = rows.shape
+            r = rows[0].reshape(-1)
+            # sentinel rows (r == block) hit indptr's last entry and mask
+            # out through lens == 0 (same trick as the single-device pack)
+            starts = indptr[jnp.minimum(r, indptr.shape[0] - 1)]
+            pos = starts[:, None] + jnp.arange(L, dtype=starts.dtype)[None, :]
+            valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[0].reshape(-1, 1)
+            pos = jnp.where(valid, pos, 0)
+            gi = flat_idx[pos]
+            # pre-permute column ids into the gathered table's shard order
+            gi = (gi % D) * col_block + gi // D
+            idx = jnp.where(valid, gi, 0)
+            dat = jnp.where(valid, flat_dat[pos], jnp.zeros((), flat_dat.dtype))
+            out.append((idx.reshape(1, n_chunks, C, L),
+                        dat.reshape(1, n_chunks, C, L)))
+        return tuple(out)
+
+    return jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(P(a, None), P(a, None), P(a, None),
+                  tuple(cls_spec for _ in range(n_classes))),
+        out_specs=tuple((P(a, None, None, None), P(a, None, None, None))
+                        for _ in range(n_classes)),
+        check_vma=False))
+
+
 class RowShardedBuckets:
     """One training side, bucketed per chip and sharded over the mesh axis.
 
@@ -81,11 +126,18 @@ class RowShardedBuckets:
     so scatters drop padding) and column indices already mapped into the
     opposite side's shard-order layout. ``empty_rows`` is a (D, max_empty)
     local-id table padded with the sentinel.
+
+    With ``on_device_pack=True`` (default) only the raw CSR flats cross the
+    transport, host-reordered into per-chip slices, and the padded class
+    tensors are built by a sharded device program — the multi-chip twin of
+    sparse.pack_pair_on_device (padded tensors carry up to ~30% padding, and
+    the host packer's serial pack_ragged is the other cost it removes).
+    Bit-identical to the host-packed builder.
     """
 
     def __init__(self, csr, mesh, axis_name="d", target_entries=1 << 23,
                  max_chunk_rows=65536, min_L=8, grid="pow2",
-                 data_dtype=np.float32):
+                 data_dtype=np.float32, on_device_pack=True):
         from .. import native
 
         D = mesh.shape[axis_name]
@@ -127,6 +179,7 @@ class RowShardedBuckets:
             return
         L_per_row = length_class_grid(nnz_per_row[nonempty], min_L, grid)
 
+        piece_meta = []  # on-device-pack plan: (L, n_chunks, C, rows, lens)
         for L in np.unique(L_per_row):
             L = int(L)
             in_class = nonempty[L_per_row == L]
@@ -143,18 +196,20 @@ class RowShardedBuckets:
                 sel = sel[np.argsort(key, kind="stable")]
                 sels.append(sel)
             count = max(len(s) for s in sels)
-            packed = []
-            for sel in sels:
-                if len(sel):
-                    pi, pd = native.pack_ragged(
-                        indptr, csr_indices, csr_data, sel.astype(np.int32),
-                        L, dtype=csr_data.dtype)
-                    # pre-permute column ids into the gathered table's shard
-                    # order; padding entries (id 0, data 0) stay in range
-                    pi = (pi % D) * self.col_block + pi // D
-                else:
-                    pi = pd = None
-                packed.append((pi, pd))
+            packed = None
+            if not on_device_pack:
+                packed = []
+                for sel in sels:
+                    if len(sel):
+                        pi, pd = native.pack_ragged(
+                            indptr, csr_indices, csr_data, sel.astype(np.int32),
+                            L, dtype=csr_data.dtype)
+                        # pre-permute column ids into the gathered table's
+                        # shard order; padding (id 0, data 0) stays in range
+                        pi = (pi % D) * self.col_block + pi // D
+                    else:
+                        pi = pd = None
+                    packed.append((pi, pd))
 
             # shared chunk layout incl. the tightly-sized remainder piece
             # (chips share the chunk structure: shorter chips pad with the
@@ -163,13 +218,22 @@ class RowShardedBuckets:
                     count, L, target_entries, max_chunk_rows):
                 padded = n_chunks * C
                 rows = np.full((D, padded), self.block, dtype=np.int32)
+                lens = np.zeros((D, padded), dtype=np.int32)
+                for k, sel in enumerate(sels):
+                    here = max(0, min(stop, len(sel)) - start)
+                    if not here:
+                        continue
+                    rows[k, :here] = (sel[start : start + here] // D).astype(np.int32)
+                    lens[k, :here] = nnz_per_row[sel[start : start + here]]
+                if on_device_pack:
+                    piece_meta.append((L, n_chunks, C, rows, lens))
+                    continue
                 idx = np.zeros((D, padded, L), dtype=np.int32)
                 dat = np.zeros((D, padded, L), dtype=csr_data.dtype)
                 for k, (sel, (pi, pd)) in enumerate(zip(sels, packed)):
                     here = max(0, min(stop, len(sel)) - start)
                     if not here:
                         continue
-                    rows[k, :here] = (sel[start : start + here] // D).astype(np.int32)
                     idx[k, :here] = pi[start : start + here]
                     dat[k, :here] = pd[start : start + here]
                 self.classes.append(_ShardedClass(
@@ -178,6 +242,53 @@ class RowShardedBuckets:
                     jax.device_put(idx.reshape(D, n_chunks, C, L), ent_shd),
                     jax.device_put(dat.reshape(D, n_chunks, C, L), ent_shd),
                 ))
+
+        if on_device_pack and piece_meta:
+            # ONE sharded upload of the raw flats, reordered per owning chip
+            # (stable grouping by row residue keeps each chip's rows in
+            # ascending order = its local CSR), then the device builds every
+            # padded class tensor in one compiled sharded program
+            owner = np.repeat(
+                (np.arange(n_rows, dtype=np.int64) % D).astype(np.int32),
+                nnz_per_row)
+            order = np.argsort(owner, kind="stable")
+            sorted_idx = csr_indices[order]
+            sorted_dat = csr_data[order]
+            nnz_chip = np.bincount(owner, minlength=D).astype(np.int64)
+            max_nnz = max(int(nnz_chip.max()), 1)
+            flat_idx = np.zeros((D, max_nnz), dtype=np.int32)
+            flat_dat = np.zeros((D, max_nnz), dtype=csr_data.dtype)
+            local_ip = np.zeros((D, self.block + 1), dtype=np.int32)
+            off = 0
+            for k in range(D):
+                c = int(nnz_chip[k])
+                flat_idx[k, :c] = sorted_idx[off : off + c]
+                flat_dat[k, :c] = sorted_dat[off : off + c]
+                off += c
+                counts = nnz_per_row[k::D]
+                local_ip[k, 1 : 1 + len(counts)] = np.cumsum(counts)
+                local_ip[k, 1 + len(counts) :] = local_ip[k, len(counts)]
+
+            flat_shd = NamedSharding(mesh, P(axis_name, None))
+            d_idx = jax.device_put(flat_idx, flat_shd)
+            d_dat = jax.device_put(flat_dat, flat_shd)
+            d_ip = jax.device_put(local_ip, flat_shd)
+            rows_devs = [
+                jax.device_put(rows.reshape(D, n, C), row_shd)
+                for (_, n, C, rows, _) in piece_meta
+            ]
+            lens_devs = [
+                jax.device_put(lens.reshape(D, n, C), row_shd)
+                for (_, n, C, _, lens) in piece_meta
+            ]
+            pack = _build_sharded_pack(
+                mesh, axis_name, len(piece_meta),
+                tuple(m[0] for m in piece_meta), D, self.col_block)
+            packed_out = pack(d_idx, d_dat, d_ip,
+                              tuple(zip(rows_devs, lens_devs)))
+            for (L, _, _, _, _), rows_dev, (idx_dev, dat_dev) in zip(
+                    piece_meta, rows_devs, packed_out):
+                self.classes.append(_ShardedClass(L, rows_dev, idx_dev, dat_dev))
 
 
 def _class_tuples(sharded):

@@ -390,3 +390,52 @@ def test_mesh_serving_bf16_subset_consistent():
     i2, s2 = meshed.recommend(np.arange(10), likes[:10], N=5, items=subset)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_row_sharded_on_device_pack_matches_host():
+    """The sharded on-device packing produces bit-identical class tensors to
+    the host packer (the single-COO-upload trick, multi-chip twin)."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.parallel import RowShardedBuckets, create_mesh
+
+    mesh = create_mesh(8)
+    rng = np.random.default_rng(21)
+    csr = sparse_random(150, 90, density=0.15, random_state=rng,
+                        data_rvs=lambda n: rng.integers(1, 9, n).astype(np.float64),
+                        format="csr")
+    csr = csr.tocsr()
+    csr.sort_indices()
+
+    host = RowShardedBuckets(csr, mesh, grid="fine", on_device_pack=False)
+    dev = RowShardedBuckets(csr, mesh, grid="fine", on_device_pack=True)
+
+    assert len(host.classes) == len(dev.classes)
+    for h, d in zip(host.classes, dev.classes):
+        assert (h.L, h.n_chunks, h.C) == (d.L, d.n_chunks, d.C)
+        np.testing.assert_array_equal(np.asarray(h.rows), np.asarray(d.rows))
+        np.testing.assert_array_equal(np.asarray(h.indices), np.asarray(d.indices))
+        np.testing.assert_array_equal(np.asarray(h.data), np.asarray(d.data))
+
+
+def test_row_sharded_fit_on_device_pack_end_to_end():
+    """mesh= ALS trains through the on-device-pack path to the same factors
+    as single-device training (tightened tolerance parity check)."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+
+    rng = np.random.default_rng(22)
+    likes = sparse_random(90, 60, density=0.12, random_state=rng,
+                          data_rvs=lambda n: rng.integers(1, 6, n).astype(np.float64),
+                          format="csr").tocsr()
+
+    single = AlternatingLeastSquares(factors=16, iterations=6, random_state=4)
+    single.fit(likes, show_progress=False)
+    meshed = AlternatingLeastSquares(factors=16, iterations=6, random_state=4,
+                                     mesh=8)
+    meshed.fit(likes, show_progress=False)
+    np.testing.assert_allclose(single.user_factors, meshed.user_factors,
+                               atol=2e-4)
+    np.testing.assert_allclose(single.item_factors, meshed.item_factors,
+                               atol=2e-4)
