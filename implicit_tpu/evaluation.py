@@ -45,14 +45,19 @@ def _choose(rng, n, frac):
     return rng.choice(n, size=size, replace=False)
 
 
-def _take_tails(arr, n, return_complement=False, shuffled=False):
+def _take_tails(arr, n, return_complement=False, shuffled=False, rng=None):
     """Indices of ``n`` occurrences of each integer in ``arr``.
 
     Picks the last ``n`` per group in input order, or ``n`` random ones per
-    group with ``shuffled=True``. Groups must cover a consecutive integer
+    group with ``shuffled=True`` (drawn from ``rng`` when given, so seeded
+    splits are reproducible — the reference draws these from the global
+    stream, evaluation.pyx:128). Groups must cover a consecutive integer
     range so ``bincount`` indexes line up.
     """
-    tiebreak = np.random.random(len(arr)) if shuffled else np.arange(len(arr))
+    if shuffled:
+        tiebreak = (rng or np.random).random(len(arr))
+    else:
+        tiebreak = np.arange(len(arr))
     order = np.lexsort((tiebreak, arr))
     sorted_arr = arr[order]
 
@@ -102,8 +107,11 @@ def leave_k_out_split(ratings, K=1, train_only_size=0.0, random_state=None):
     candidate_items = items[full_candidate_mask]
     candidate_data = data[full_candidate_mask]
 
-    test_idx, train_idx = _take_tails(candidate_users, K, shuffled=True, return_complement=True)
-    train_idx = np.setdiff1d(np.arange(len(candidate_users), dtype=int), test_idx)
+    # the complement from _take_tails is positional and already exact (the
+    # reference needed a setdiff1d workaround for its by-value variant)
+    test_idx, train_idx = _take_tails(candidate_users, K, shuffled=True,
+                                      return_complement=True,
+                                      rng=random_state)
 
     test_mat = csr_matrix(
         (candidate_data[test_idx], (candidate_users[test_idx], candidate_items[test_idx])),

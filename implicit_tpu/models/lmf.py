@@ -384,7 +384,9 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         # negative score matrix (plus its sigmoid), so bound C*L such that
         # ~3 f32 copies of it stay within a 768MB budget; bigger chunks
         # amortize the per-step factor-buffer update traffic
-        target = max(1 << 14, (768 << 20) // (self.neg_prop * 12))
+        # max(1, ...): neg_prop=0 trains on positives only (the negative
+        # draw count min(n, L*neg_prop) is then 0), it must not divide-by-0
+        target = max(1 << 14, (768 << 20) // (max(1, self.neg_prop) * 12))
         if self.mesh is not None:
             from ..parallel import create_mesh, shard_buckets
             from ..parallel.mesh import replicated

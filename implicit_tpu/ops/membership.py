@@ -139,7 +139,9 @@ def build_pair_table(user_items, max_load=0.85, row_ids=None):
     a_bits, b_bits = _id_bits(users), _id_bits(items)
     if b_bits >= 32 or a_bits >= 32:
         return None
-    bucket_bits = max(3, _id_bits(-(-nnz // int(_SLOTS * max_load))))
+    # float division: int(_SLOTS * max_load) would truncate the target load
+    # (and divide by zero for max_load < 1/_SLOTS)
+    bucket_bits = max(3, _id_bits(int(np.ceil(nnz / (_SLOTS * max_load)))))
     rem_bits = a_bits + b_bits - bucket_bits
     if rem_bits > _MAX_REM_BITS:
         return None  # id space too large for 32-bit slots; caller falls back

@@ -26,7 +26,8 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *, alpha, beta, nl):
+def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *,
+                            alpha, beta, nl, BL, L):
     li = pl.program_id(1)
 
     @pl.when(li == 0)
@@ -36,10 +37,19 @@ def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *, a
     # products stay in the compute dtype (bf16 halves the VMEM footprint);
     # reductions accumulate in f32
     yu = yu_ref[:]  # (BC, BL, F) compute dtype
+    if L % BL:
+        # partial final L-tile: out-of-bounds reads are undefined — zero
+        # both the gathered rows and the coefficients past L (a masked
+        # coeff alone can't stop NaN garbage: 0 * NaN propagates)
+        lane = li * BL + jax.lax.broadcasted_iota(jnp.int32, (1, BL, 1), 1)
+        yu = jnp.where(lane < L, yu, jnp.zeros((), yu.dtype))
     v = v_ref[:].astype(yu.dtype)  # (BC, F)
     # t[c, l] = Yu[c, l, :] . v[c, :]
     t = jnp.sum(yu * v[:, None, :], axis=2, dtype=jnp.float32)
     coeff = alpha * bv_ref[:] + beta * (w_ref[:] * t)  # (BC, BL) f32
+    if L % BL:
+        lane2 = li * BL + jax.lax.broadcasted_iota(jnp.int32, coeff.shape, 1)
+        coeff = jnp.where(lane2 < L, coeff, 0.0)
     # acc[c, f] += sum_l coeff[c, l] * Yu[c, l, f]; the broadcast stays f32
     # (Mosaic miscompiles bf16 (C,L)->(C,L,1) reshapes)
     acc_ref[:] += jnp.sum(coeff[:, :, None] * yu, axis=1, dtype=jnp.float32)
@@ -65,11 +75,17 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
     C, L, F = Yu.shape
 
     # BL: the full L axis when small, else a 128-multiple tile (Mosaic needs
-    # the last block dim divisible by 128 or equal to the array dim)
-    BL = L if L <= 512 else 256
+    # the last block dim divisible by 128 or equal to the array dim).
+    # Prefer a tile that divides L exactly; otherwise the kernel masks the
+    # partial final tile (bucketed grid lengths > 512 are always 128-
+    # multiples, so production shapes take the exact path)
+    if L <= 512:
+        BL = L
+    else:
+        BL = next((c for c in (512, 384, 256, 128) if L % c == 0), 256)
     # size by PHYSICAL footprint (last dim lane-padded to 128): the kernel
     # holds ~2 tile-sized f32 temporaries plus the double-buffered input
-    F_pad = -(-F // 128) * 128
+    F_pad = _round_up(F, 128)
     BC = min(C, (1 << 20) // (BL * F_pad), 1024)
     BC = max(8, (BC // 8) * 8)
     if C % BC:
@@ -80,7 +96,8 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
     nl = -(-L // BL)
 
     kernel = functools.partial(
-        _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl
+        _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl,
+        BL=BL, L=L,
     )
 
     return pl.pallas_call(
@@ -170,7 +187,7 @@ def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
     # the whole L axis must fit the tile. Size BC by the PHYSICAL footprint:
     # the last dim is lane-padded to 128, and ~2 f32 tile-sized temporaries
     # are live at once, so keep BC*L*Fpad around 1M elements (VMEM is 16MB)
-    F_pad = -(-F // 128) * 128
+    F_pad = _round_up(F, 128)
     BC = min(C, (1 << 20) // (L * F_pad), 512)
     BC = max(8, (BC // 8) * 8)
     while C % BC and BC > 8:
@@ -293,7 +310,7 @@ def gramian_tile_l(L, F, itemsize):
     (the caller should fall back to the composed XLA formulation).
     """
     del itemsize  # f32 aliases one temp, bf16 pays a cast: both ~12 B/elem
-    f_pad = -(-F // 128) * 128
+    f_pad = _round_up(F, 128)
     bpe = 12
     budget = 13 * 2**20 - 8 * f_pad * f_pad * 4
     cap = budget // (8 * f_pad * bpe)
@@ -314,7 +331,9 @@ def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
     BL = gramian_tile_l(L, F, Yu.dtype.itemsize)
     if BL is None:  # callers dispatch away from unroutable shapes
         raise ValueError(f"no VMEM-viable gramian tile for L={L}, F={F}")
-    nc = C // BC
+    # ceil: a partial final row-block solves garbage padding rows (row-
+    # independent, writes clipped) instead of silently skipping the tail
+    nc = -(-C // BC)
     nl = L // BL
 
     kernel = functools.partial(_gramian_cg_kernel, nl=nl, cg_steps=cg_steps, bc=BC)

@@ -124,3 +124,37 @@ def test_full_cg_max_l_scales_with_factor_width():
     assert _full_cg_max_l(jnp.bfloat16, 256) == 512
     assert _full_cg_max_l(jnp.float32, 256) == 256
     assert _full_cg_max_l(jnp.bfloat16, 64) == 1024
+
+
+def test_weighted_matvec_partial_l_tile():
+    # L=576 is not a multiple of the 256 tile: the kernel must mask the
+    # partial final tile instead of folding undefined reads into every row
+    rng = np.random.default_rng(5)
+    C, L, F = 16, 576, 32
+    Yu = jnp.asarray(rng.standard_normal((C, L, F)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((C, L)).astype(np.float32))
+    bv = jnp.asarray(rng.standard_normal((C, L)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((C, F)).astype(np.float32))
+    out = np.asarray(weighted_matvec(Yu, w, bv, v, 1.0, -1.0))
+    t = np.einsum("clf,cf->cl", np.asarray(Yu), np.asarray(v))
+    ref = np.einsum("cl,clf->cf", np.asarray(bv) - np.asarray(w) * t,
+                    np.asarray(Yu))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_gramian_cg_non_multiple_of_8_rows():
+    from implicit_tpu.ops.pallas_ops import gramian_cg_solve as _gcg
+    # C=20: the ceil grid must solve the tail rows (floor silently skipped
+    # them, returning uninitialized memory)
+    rng = np.random.default_rng(6)
+    C, L, F = 20, 16, 8
+    Yu = jnp.asarray(rng.standard_normal((C, L, F)).astype(np.float32))
+    dat = jnp.asarray((rng.random((C, L)) < 0.5).astype(np.float32) * 3)
+    x0 = jnp.zeros((C, F), jnp.float32)
+    yty = jnp.eye(F, dtype=jnp.float32) * 2.0
+    sol = np.asarray(_gcg(Yu, dat, x0, yty, 3))
+    full = np.asarray(_gcg(
+        jnp.pad(Yu, ((0, 4), (0, 0), (0, 0))),
+        jnp.pad(dat, ((0, 4), (0, 0))),
+        jnp.pad(x0, ((0, 4), (0, 0))), yty, 3))[:C]
+    np.testing.assert_allclose(sol, full, atol=1e-6)
