@@ -140,6 +140,12 @@ class RowShardedBuckets:
                  data_dtype=np.float32, on_device_pack=True):
         from .. import native
 
+        if csr.nnz >= (1 << 31):
+            # the device pack's per-chip flat positions are int32; a single
+            # chip's slice must stay addressable (total can exceed 2^31
+            # only if no chip's share does — conservatively fall back)
+            on_device_pack = False
+
         D = mesh.shape[axis_name]
         n_rows, n_cols = csr.shape
         self.shape = csr.shape
