@@ -323,17 +323,27 @@ class TPUIVFModel(ANNWrapperBase):
 
         log.debug("Building TPU IVF indexes: %d clusters over %d items", k, n)
         factors = np.asarray(item_factors, dtype=np.float32)
-        # cosine space: store normalized points, query normalized -> scores
-        # ARE cosine similarities
-        norms = np.maximum(np.linalg.norm(factors, axis=1, keepdims=True), 1e-12)
-        self.similar_items_index = _IVFIndex(
-            factors / norms, k, self.kmeans_iters, seed
-        )
-        # inner-product space: the "Xbox" augmentation adds one column making
-        # all rows equal-norm, so cosine clustering == MIP clustering, and a
-        # (user, 0) query's dot with an augmented row is the raw inner product
-        extra = augment_inner_product_matrix(factors)[1]
-        self.recommend_index = _IVFIndex(extra, k, self.kmeans_iters, seed + 1)
+        # each index builds only when its flag asks for it — the k-means
+        # build is the dominant construction cost (the host-library wrappers
+        # do the same, e.g. /root/reference/implicit/ann/annoy.py:58-92)
+        self.similar_items_index = None
+        self.recommend_index = None
+        if self.approximate_similar_items:
+            # cosine space: store normalized points, query normalized ->
+            # scores ARE cosine similarities
+            norms = np.maximum(
+                np.linalg.norm(factors, axis=1, keepdims=True), 1e-12)
+            self.similar_items_index = _IVFIndex(
+                factors / norms, k, self.kmeans_iters, seed
+            )
+        if self.approximate_recommend:
+            # inner-product space: the "Xbox" augmentation adds one column
+            # making all rows equal-norm, so cosine clustering == MIP
+            # clustering, and a (user, 0) query's dot with an augmented row
+            # is the raw inner product
+            extra = augment_inner_product_matrix(factors)[1]
+            self.recommend_index = _IVFIndex(
+                extra, k, self.kmeans_iters, seed + 1)
 
     def save(self, fileobj_or_path):
         """Round-trips the wrapper AND its indexes to one ``.npz``.
@@ -344,7 +354,8 @@ class TPUIVFModel(ANNWrapperBase):
         but the TPU-native IVF index is plain arrays. The inner model's own
         npz fields are nested under a ``model__`` prefix.
         """
-        if getattr(self, "similar_items_index", None) is None:
+        if (getattr(self, "similar_items_index", None) is None
+                and getattr(self, "recommend_index", None) is None):
             raise ValueError("cannot save an unfitted index — call fit first")
         import io
 
@@ -360,8 +371,10 @@ class TPUIVFModel(ANNWrapperBase):
                     # and post-fit state doesn't need the seed
                     continue
                 args["model__" + key] = value
-        args.update(self.similar_items_index.to_arrays("sim__"))
-        args.update(self.recommend_index.to_arrays("rec__"))
+        if self.similar_items_index is not None:
+            args.update(self.similar_items_index.to_arrays("sim__"))
+        if self.recommend_index is not None:
+            args.update(self.recommend_index.to_arrays("rec__"))
         args["model_class"] = type(self.model).__name__
         args["approximate_similar_items"] = self.approximate_similar_items
         args["approximate_recommend"] = self.approximate_recommend
@@ -404,8 +417,12 @@ class TPUIVFModel(ANNWrapperBase):
                 random_state=int(data["random_state"]) if "random_state" in data else None,
             )
             ret._probe = int(data["probe"])
-            ret.similar_items_index = _IVFIndex.from_arrays(data, "sim__")
-            ret.recommend_index = _IVFIndex.from_arrays(data, "rec__")
+            ret.similar_items_index = (
+                _IVFIndex.from_arrays(data, "sim__")
+                if "sim__centroids" in data else None)
+            ret.recommend_index = (
+                _IVFIndex.from_arrays(data, "rec__")
+                if "rec__centroids" in data else None)
         return ret
 
     def _query_similar(self, factor, count):

@@ -397,6 +397,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self._user_norms = None
         self._XtX = None
         self._user_factors_dev = None  # in-place update: refresh device copy
+        self._drop_mesh_cache("user")  # ...and the mesh-sharded table
 
     def partial_fit_items(self, itemids, item_users):
         """Incrementally recalculates factors for the given items, growing storage."""
@@ -416,6 +417,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         self._item_norms = None
         self._YtY = None
         self._item_factors_dev = None  # in-place update: refresh device copy
+        self._drop_mesh_cache("item")  # ...and the mesh-sharded table
 
     def explain(self, userid, user_items, itemid, user_weights=None, N=10):
         """Explains why ``itemid`` is recommended to ``userid``.

@@ -98,6 +98,12 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="
                 "method='device' slices the COO stream with int32 offsets; "
                 "matrices with >= 2^31 nonzeros must use method='host'"
             )
+        if user_items.nnz and user_items.data.min() < 0:
+            raise ValueError(
+                "method='device' keeps only positive similarities (the dense "
+                "gramian cannot distinguish no-co-occurrence from similarity "
+                "0); matrices with negative weights must use method='host'"
+            )
         return _all_pairs_knn_device(user_items, K)
     return _all_pairs_knn_host(user_items, K)
 
@@ -388,7 +394,12 @@ class ItemItemRecommender(RecommenderBase):
         if callback:
             raise NotImplementedError("callback isn't supported on ItemItemRecommender.fit")
 
-        weighted = self._weighted(counts)
+        # warn about the USER's input format here (the reference's check),
+        # then convert the weighting transform's own coo/csc output silently
+        # — all_pairs_knn's check_csr must not blame the caller for a format
+        # this class produced itself
+        counts = check_csr(counts)
+        weighted = sp.csr_matrix(self._weighted(counts))
         self.similarity = all_pairs_knn(
             weighted, self.K, show_progress=show_progress, num_threads=self.num_threads
         ).tocsr()
@@ -515,7 +526,7 @@ class ItemItemRecommender(RecommenderBase):
         if filter_items is not None:
             ids, scores = _drop_filtered(ids, scores, filter_items)
         elif items is not None:
-            ids, scores = _restrict_to(ids, scores, items)
+            ids, scores = _restrict_to(ids, scores, np.asarray(items))
 
         order = np.argsort(scores)[::-1][:N]
         return ids[order], scores[order]
@@ -603,6 +614,10 @@ class BM25Recommender(ItemItemRecommender):
         super().__init__(K, num_threads)
         self.K1 = K1
         self.B = B
+
+    def _save_args(self):
+        # K1/B are fit-relevant: a loaded model's refit must weight the same
+        return {**super()._save_args(), "K1": self.K1, "B": self.B}
 
     def _weighted(self, counts):
         return bm25_weight(counts.T, self.K1, self.B).T

@@ -22,10 +22,6 @@ arithmetically inside the kernels.
 import numpy as np
 
 
-def _next_pow2(x):
-    return 1 << int(np.ceil(np.log2(max(int(x), 1))))
-
-
 def length_class_grid(nnz_per_row, min_L=8, grid="fine"):
     """Padded length L per row on the shared bucketing grid.
 
@@ -334,6 +330,16 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     """
     import jax.numpy as jnp
 
+    if Cui.nnz >= (1 << 31):
+        # the device pack addresses flat positions in int32; fall back to
+        # the host packer (which is int64 throughout) instead of wrapping
+        return (BucketedCSR(Cui, target_entries=target_entries,
+                            max_chunk_rows=max_chunk_rows, grid=grid,
+                            data_dtype=data_dtype).to_device(),
+                BucketedCSR(Ciu, target_entries=target_entries,
+                            max_chunk_rows=max_chunk_rows, grid=grid,
+                            data_dtype=data_dtype).to_device())
+
     plan_u = BucketedCSR(Cui, target_entries=target_entries,
                          max_chunk_rows=max_chunk_rows, grid=grid,
                          data_dtype=data_dtype, metadata_only=True)
@@ -352,10 +358,3 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     user_buckets = _pack_side(plan_u, cols, data, indptr_u)
     item_buckets = _pack_side(plan_i, item_cols, item_data, indptr_i)
     return user_buckets, item_buckets
-
-
-def csr_to_coo_arrays(csr):
-    """Returns (row_ids, col_ids, data) int32/int32/float32 COO arrays of a CSR."""
-    counts = np.diff(csr.indptr)
-    rows = np.repeat(np.arange(csr.shape[0], dtype=np.int32), counts)
-    return rows, np.asarray(csr.indices, dtype=np.int32), np.asarray(csr.data, dtype=np.float32)

@@ -200,3 +200,39 @@ def test_ivf_model_save_before_fit_raises(tmp_path):
     model = TPUIVFModel(AlternatingLeastSquares(factors=8))
     with pytest.raises(ValueError, match="unfitted"):
         model.save(str(tmp_path / "x"))
+
+
+def test_flags_gate_index_builds(tmp_path):
+    """approximate_similar_items/recommend=False skip that index's k-means
+    build entirely (the dominant construction cost), like the host-library
+    wrappers; save/load round-trips the one built index."""
+    import numpy as np
+
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.ann.ivf import TPUIVFModel
+
+    rng = np.random.default_rng(5)
+    model = AlternatingLeastSquares(factors=8)
+    model.user_factors = rng.standard_normal((40, 8)).astype(np.float32)
+    model.item_factors = rng.standard_normal((30, 8)).astype(np.float32)
+
+    wrapper = TPUIVFModel(model, approximate_recommend=False, random_state=3,
+                          n_probe=16)
+    wrapper._build_indexes(model.item_factors)
+    assert wrapper.similar_items_index is not None
+    assert wrapper.recommend_index is None
+
+    # recommend falls back to the exact path; similar_items queries the index
+    from scipy.sparse import csr_matrix
+    likes = csr_matrix(np.ones((1, 30), dtype=np.float32))
+    ids, _ = wrapper.recommend(0, likes, N=5)
+    assert len(ids) == 5
+    sids, _ = wrapper.similar_items(3, N=4)
+    assert len(sids) == 4
+
+    path = str(tmp_path / "ivf_one_index")
+    wrapper.save(path)
+    loaded = TPUIVFModel.load(path)
+    assert loaded.recommend_index is None
+    l_ids, _ = loaded.similar_items(3, N=4)
+    np.testing.assert_array_equal(l_ids, sids)
