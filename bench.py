@@ -38,6 +38,10 @@ import numpy as np
 # only preempts the main thread between bytecodes, so it relies on the
 # blocking call (compile RPC / transfer) releasing the GIL — PJRT does.
 STAGE_TIMEOUT = int(os.environ.get("BENCH_STAGE_TIMEOUT", "2400"))
+# global ceiling: with a hung compile service every stage would burn its
+# full watchdog (13 stages x 40min ≈ 9h); once the deadline passes, the
+# remaining stages record "skipped" rows and the record still prints
+GLOBAL_DEADLINE = int(os.environ.get("BENCH_GLOBAL_DEADLINE", "10800"))
 
 
 class _StageTimeout(Exception):
@@ -387,8 +391,12 @@ def main():
 
     extras = {}
     stages = []
+    bench_t0 = time.time()
 
     def stage(name, fn):
+        if time.time() - bench_t0 > GLOBAL_DEADLINE:
+            stages.append(f"{name}=SKIPPED(global deadline)")
+            return None
         t0 = time.time()
         try:
             out = _stage_guard(fn, STAGE_TIMEOUT)
