@@ -13,10 +13,15 @@ scaling goes through ``jax.sharding`` meshes rather than threads.
 """
 
 from . import als, approximate_als, bpr, ease, lmf, nearest_neighbours
+# the reference binds implicit.cpu/implicit.gpu as import side effects of
+# its factories (/root/reference/implicit/als.py:3-4), so user code reads
+# e.g. ``implicit.gpu.HAS_CUDA`` after a bare ``import implicit`` — keep
+# that working through the drop-in alias packages
+from . import cpu, gpu
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
-    "als", "approximate_als", "bpr", "ease", "lmf", "nearest_neighbours",
-    "__version__",
+    "als", "approximate_als", "bpr", "cpu", "ease", "gpu",
+    "lmf", "nearest_neighbours", "__version__",
 ]
