@@ -373,6 +373,35 @@ def bench_quality():
     return out
 
 
+def bench_quality_real():
+    """The reference's one real-data integration gate — ALS p@10 > 0.2 on
+    actual MovieLens-100k (/root/reference/tests/evaluation_test.py:103-119)
+    — run automatically whenever the HDF5 is present locally
+    (``IMPLICIT_DATASETS_PATH`` / ``~/implicit_datasets``). Zero-egress
+    environments record ``dataset: synthetic-only`` instead of a number."""
+    import numpy as np
+
+    from implicit_tpu.datasets.movielens import get_movielens, probe_movielens
+    from implicit_tpu.evaluation import precision_at_k, train_test_split
+    from implicit_tpu.models.als import AlternatingLeastSquares
+
+    if probe_movielens("100k") is None:
+        return {"value": None, "dataset": "synthetic-only",
+                "note": "movielens_100k.hdf5 not cached; set IMPLICIT_DATASETS_PATH"}
+
+    _, ratings = get_movielens(variant="100k")
+    ratings.data[ratings.data < 3.0] = 0          # reference protocol:
+    ratings.eliminate_zeros()                     # min_rating=3, binary prefs
+    ratings.data = np.ones(len(ratings.data))
+    user_ratings = ratings.T.tocsr()
+    train, test = train_test_split(user_ratings)
+    model = AlternatingLeastSquares()
+    model.fit(train, show_progress=False)
+    p10 = float(precision_at_k(model, train, test, show_progress=False))
+    return {"value": round(p10, 4), "dataset": "movielens-100k",
+            "passes_ref_gate": p10 > 0.2}
+
+
 def main():
     import jax
 
@@ -512,6 +541,8 @@ def main():
     p10 = stage("quality", lambda: bench_quality())
     extras["als_p10_clustered_synthetic"] = {"value": p10["als"] if p10 else None}
     extras["p10_clustered_synthetic_by_model"] = {"value": p10}
+    real = stage("quality_real", lambda: bench_quality_real())
+    extras["als_p10_movielens100k_real"] = real or {"value": None, "note": "stage skipped"}
 
     headline = extras[f"als_f{HEADLINE_FACTORS}_s_per_iter"]
     result = {

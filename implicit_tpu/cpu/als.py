@@ -6,4 +6,12 @@ use_cg, iterations, calculate_training_loss, num_threads, random_state)
 plus the TPU-specific ``mesh``/``grid`` knobs.
 """
 
-from ..models.als import AlternatingLeastSquares  # noqa: F401
+from ..models.als import (  # noqa: F401
+    AlternatingLeastSquares,
+    calculate_loss,
+    item_factor,
+    least_squares,
+    least_squares_cg,
+    user_factor,
+    user_linear_equation,
+)

@@ -6,7 +6,10 @@ from urllib.request import urlopen
 
 from tqdm.auto import tqdm
 
-LOCAL_CACHE_DIR = os.path.join(os.path.expanduser("~"), "implicit_datasets")
+LOCAL_CACHE_DIR = os.environ.get(
+    "IMPLICIT_DATASETS_PATH",
+    os.path.join(os.path.expanduser("~"), "implicit_datasets"),
+)
 
 _CHUNK_BYTES = 1 << 18
 
@@ -50,7 +53,24 @@ def download_file(url, local_filename):
 
 def fetch_cached(url, filename):
     """Returns the local path of ``filename``, downloading from ``url`` if absent."""
-    local = os.path.join(LOCAL_CACHE_DIR, filename)
-    if not os.path.isfile(local):
+    local = probe_cached(filename)
+    if local is None:
+        local = os.path.join(_cache_dir(), filename)
         download_file(url, local)
     return local
+
+
+def _cache_dir():
+    """The live cache directory (re-reads the env var so tests can point it)."""
+    return os.environ.get("IMPLICIT_DATASETS_PATH", LOCAL_CACHE_DIR)
+
+
+def probe_cached(filename):
+    """Path of ``filename`` in the cache dir if it already exists, else None.
+
+    Never touches the network — the hook that lets quality gates flip from
+    synthetic data to the real dataset the moment a file is provided (via
+    ``IMPLICIT_DATASETS_PATH`` or the default ``~/implicit_datasets``).
+    """
+    local = os.path.join(_cache_dir(), filename)
+    return local if os.path.isfile(local) else None

@@ -38,6 +38,17 @@ def get_movielens(variant="20m"):
         return np.array(f["movie"].asstr()[:]), ratings
 
 
+def probe_movielens(variant="20m"):
+    """Local HDF5 path for ``variant`` if already cached, else None.
+
+    Never downloads. Quality gates use this to run the reference's real
+    MovieLens protocol (/root/reference/tests/evaluation_test.py:103-119)
+    automatically whenever the data file is present (``IMPLICIT_DATASETS_PATH``
+    or ``~/implicit_datasets``), falling back to synthetic data otherwise.
+    """
+    return _download.probe_cached(f"movielens_{variant}.hdf5")
+
+
 def generate_dataset(path, variant="20m", outputpath="."):
     """Converts raw grouplens.org dumps into the HDF5 format used here."""
     import pandas

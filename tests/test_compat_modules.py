@@ -73,3 +73,36 @@ def test_factory_consumes_gpu_flag():
     model.fit(ui, show_progress=False)
     ids, _ = model.recommend(0, ui[0], N=3)
     assert len(ids) == 3
+
+
+def test_cpu_als_solver_function_aliases():
+    """The reference exposes module-level solvers from implicit.cpu.als
+    (/root/reference/implicit/cpu/als.py:480-577) and implicit.cpu._als
+    (_als.pyx:67,145,251); both alias paths resolve to working callables."""
+    import implicit_tpu.cpu._als as _als
+    import implicit_tpu.cpu.als as cpu_als
+
+    rng = np.random.default_rng(3)
+    Cui = csr_matrix((rng.random(80).astype(np.float32) * 3 + 1,
+                      (rng.integers(0, 20, 80), rng.integers(0, 15, 80))),
+                     shape=(20, 15))
+    Cui.sum_duplicates()
+    X = rng.standard_normal((20, 6)).astype(np.float64) * 0.01
+    Y = rng.standard_normal((15, 6)).astype(np.float64) * 0.01
+
+    for mod in (cpu_als, _als):
+        Xs, Ys = X.copy(), Y.copy()
+        mod.least_squares(Cui, Xs, Ys.copy(), 0.1)
+        assert np.isfinite(Xs).all() and not np.allclose(Xs, X)
+        Xc = X.copy()
+        mod.least_squares_cg(Cui, Xc, Y.copy(), 0.1, cg_steps=3)
+        assert np.isfinite(Xc).all()
+        loss = mod.calculate_loss(Cui, X, Y, 0.1)
+        assert np.isfinite(loss) and loss > 0
+
+    # per-row surface only on cpu.als (matching the reference layout)
+    A, b = cpu_als.user_linear_equation(Y, Y.T @ Y, Cui, 0, 0.1, 6)
+    x = cpu_als.user_factor(Y, Y.T @ Y, Cui, 0, 0.1, 6)
+    assert np.allclose(A @ x, b, atol=1e-8)
+    xi = cpu_als.item_factor(X, X.T @ X, Cui, 1, 0.1, 6)
+    assert np.isfinite(xi).all()

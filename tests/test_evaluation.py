@@ -136,9 +136,31 @@ def _blocked_dataset(users=300, items=120, seed=7):
     )
 
 
+def test_als_quality_gate_movielens100k_real():
+    """The reference's exact real-data gate (tests/evaluation_test.py:103-119):
+    ALS p@10 > 0.2 on MovieLens-100k. Runs automatically when the HDF5 is
+    cached locally (IMPLICIT_DATASETS_PATH / ~/implicit_datasets); skipped in
+    zero-egress environments — the synthetic gate below covers those."""
+    from implicit_tpu.datasets.movielens import get_movielens, probe_movielens
+
+    if probe_movielens("100k") is None:
+        pytest.skip("movielens_100k.hdf5 not cached (zero-egress environment)")
+
+    _, ratings = get_movielens(variant="100k")
+    ratings.data[ratings.data < 3.0] = 0
+    ratings.eliminate_zeros()
+    ratings.data = np.ones(len(ratings.data))
+    user_ratings = ratings.T.tocsr()
+    train, test = train_test_split(user_ratings)
+    model = AlternatingLeastSquares()
+    model.fit(train, show_progress=False)
+    assert precision_at_k(model, train, test, show_progress=False) > 0.2
+
+
 def test_als_quality_gate():
     # end-to-end quality gate: the reference requires p@10 > 0.2 on ML-100k
     # (tests/evaluation_test.py:103-119); this synthetic set plays that role
+    # in zero-egress runs (the real gate above engages when data is present)
     ratings = _blocked_dataset()
     train, test = train_test_split(ratings, train_percentage=0.8, random_state=42)
 

@@ -179,3 +179,20 @@ def test_pipelined_validates_eagerly():
         model.similar_items_pipelined([], items=[1], filter_items=[2])
     with pytest.raises(ValueError, match="users and filter_users"):
         model.similar_users_pipelined([], users=[1], filter_users=[2])
+
+
+def test_dataset_probe_honors_env_path(tmp_path, monkeypatch):
+    """probe_cached / probe_movielens find files via IMPLICIT_DATASETS_PATH
+    without touching the network — the real-data quality-gate hook."""
+    from implicit_tpu.datasets import _download
+    from implicit_tpu.datasets.movielens import probe_movielens
+
+    monkeypatch.setenv("IMPLICIT_DATASETS_PATH", str(tmp_path))
+    assert probe_movielens("100k") is None
+    target = tmp_path / "movielens_100k.hdf5"
+    target.write_bytes(b"\x89HDF")
+    assert probe_movielens("100k") == str(target)
+    assert _download.probe_cached("movielens_100k.hdf5") == str(target)
+    # fetch_cached returns the cached file without any network call
+    assert _download.fetch_cached("http://invalid.invalid/x",
+                                  "movielens_100k.hdf5") == str(target)
