@@ -337,6 +337,20 @@ def bench_serving_streaming(factors=128, batch=1024, k=10):
     return {"users_per_s": round(batch / wall), "agreement_vs_resident": agreement}
 
 
+def bench_knn_fit(Cui):
+    """BM25 item-item KNN fit wall at catalog scale — the host-side fused
+    SMMP kernel (native/packer.cpp:knn_all_pairs); one of the reference's
+    flagship last.fm workloads (/root/reference/examples/lastfm.py)."""
+    from implicit_tpu.nearest_neighbours import BM25Recommender
+
+    t0 = time.time()
+    model = BM25Recommender(K=20)
+    model.fit(Cui, show_progress=False)
+    wall = time.time() - t0
+    assert model.similarity.nnz > 0
+    return wall
+
+
 def bench_quality():
     """End-to-end p@10 per model family on a clustered synthetic set
     (3000x600, 20 groups) — the quality-parity gate across families."""
@@ -537,6 +551,9 @@ def main():
     lmf_s = stage("lmf", lambda: bench_sgd_epochs(
         LogisticMatrixFactorization, Cui, factors=32, random_state=1))
     extras["lmf_s_per_epoch_f32_negprop30"] = _row(lmf_s, digits=3)
+
+    knn_s = stage("knn_fit", lambda: bench_knn_fit(Cui))
+    extras["knn_bm25_k20_fit_wall_s"] = _row(knn_s, digits=1)
 
     p10 = stage("quality", lambda: bench_quality())
     extras["als_p10_clustered_synthetic"] = {"value": p10["als"] if p10 else None}

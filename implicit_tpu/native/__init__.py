@@ -24,7 +24,12 @@ _tried = False
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        # OpenMP first (knn_all_pairs parallelizes over item rows); plain
+        # build as the fallback for toolchains without libgomp
+        subprocess.run(cmd[:1] + ["-fopenmp"] + cmd[1:], check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def get_lib():
@@ -59,6 +64,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.topk_rows.restype = ctypes.c_int64
+        lib.knn_all_pairs.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.cuckoo_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -150,6 +164,43 @@ def topk_rows(indptr, indices, data, K, row_offset=0):
         empty = np.array([], dtype=np.int32)
         return empty, empty.copy(), np.array([], dtype=np.float64)
     return np.concatenate(out_r), np.concatenate(out_c), np.concatenate(out_v)
+
+
+def knn_all_pairs(item_users, user_items, K, num_threads=0):
+    """Fused AᵀA + per-row top-K over CSR inputs -> (rows, cols, vals) COO.
+
+    ``item_users`` is (items x users), ``user_items`` its transpose; the
+    similarity row i is item_users[i] @ user_items, K-sparsified in place by
+    a dense-accumulator SMMP (the sparse product is never materialized).
+    Returns None when the native library is unavailable — callers fall back
+    to the blocked scipy formulation.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    items = item_users.shape[0]
+    ip_iu = np.ascontiguousarray(item_users.indptr, dtype=np.int64)
+    ix_iu = np.ascontiguousarray(item_users.indices, dtype=np.int32)
+    dt_iu = np.ascontiguousarray(item_users.data, dtype=np.float64)
+    ip_ui = np.ascontiguousarray(user_items.indptr, dtype=np.int64)
+    ix_ui = np.ascontiguousarray(user_items.indices, dtype=np.int32)
+    dt_ui = np.ascontiguousarray(user_items.data, dtype=np.float64)
+    out_c = np.empty(items * K, dtype=np.int32)
+    out_v = np.empty(items * K, dtype=np.float64)
+    out_n = np.zeros(items, dtype=np.int32)
+    lib.knn_all_pairs(
+        items, K,
+        _ptr(ip_iu, ctypes.c_int64), _ptr(ix_iu, ctypes.c_int32),
+        _ptr(dt_iu, ctypes.c_double),
+        _ptr(ip_ui, ctypes.c_int64), _ptr(ix_ui, ctypes.c_int32),
+        _ptr(dt_ui, ctypes.c_double), int(num_threads),
+        _ptr(out_c, ctypes.c_int32), _ptr(out_v, ctypes.c_double),
+        _ptr(out_n, ctypes.c_int32),
+    )
+    rows = np.repeat(np.arange(items, dtype=np.int32), out_n)
+    keep = (np.arange(K, dtype=np.int32)[None, :]
+            < out_n[:, None]).reshape(-1)
+    return rows, out_c[keep], out_v[keep]
 
 
 def cuckoo_build(u, i, a_bits, b_bits, bucket_bits):

@@ -11,6 +11,11 @@
 //                    COO round trip when bucketing both orientations)
 //   topk_rows      — per-row partial-sort top-K over a CSR block (the KNN
 //                    similarity sparsifier)
+//   knn_all_pairs  — fused AᵀA + per-row top-K (dense-accumulator SMMP;
+//                    the KNN fit's hot loop, OpenMP-parallel over item rows
+//                    like /root/reference/implicit/_nearest_neighbours.pyx's
+//                    prange — but single-pass: the sparse product is never
+//                    materialized, unlike the blocked scipy formulation)
 //
 // Exposed via ctypes (no pybind11 in the image); Python falls back to numpy
 // when the shared object isn't built.
@@ -18,8 +23,13 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <utility>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -96,6 +106,82 @@ int64_t topk_rows(int64_t rows, int64_t K, const int64_t *indptr,
     }
   }
   return written;
+}
+
+// Fused item-item similarity: per item row i of item_users (items x users),
+// accumulate row i of AᵀA into a dense per-thread accumulator (SMMP) and
+// select its top-K in place — the CSR product never exists in memory.
+// out_cols/out_vals are (items, K) row-sliced scratch; out_cnt[i] says how
+// many entries row i wrote (rows are independent, so this parallelizes
+// without synchronization). Values accumulate in f64 like the scipy path.
+void knn_all_pairs(int64_t items, int64_t K, const int64_t *indptr_iu,
+                   const int32_t *idx_iu, const double *dat_iu,
+                   const int64_t *indptr_ui, const int32_t *idx_ui,
+                   const double *dat_ui, int32_t num_threads,
+                   int32_t *out_cols, double *out_vals, int32_t *out_cnt) {
+#ifdef _OPENMP
+  const int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#pragma omp parallel num_threads(nt)
+#endif
+  {
+    // untouched entries hold NaN: "seen" and the value share ONE random
+    // access per pair (this loop is cache-miss bound on the accumulator)
+    const double kEmpty = std::numeric_limits<double>::quiet_NaN();
+    std::vector<double> acc(items, kEmpty);
+    std::vector<int32_t> touched;
+    touched.reserve(1 << 16);
+    std::vector<std::pair<double, int32_t>> heap;
+    heap.reserve(K + 1);
+    const auto less = std::greater<std::pair<double, int32_t>>();
+
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t i = 0; i < items; ++i) {
+      touched.clear();
+      const int64_t phi = indptr_iu[i + 1];
+      for (int64_t p = indptr_iu[i]; p < phi; ++p) {
+        // user rows are visited in random order: prefetch the next rows'
+        // extents and entries so their DRAM misses overlap this row's work
+        if (p + 1 < phi) __builtin_prefetch(&indptr_ui[idx_iu[p + 1]], 0, 1);
+        if (p + 4 < phi)
+          __builtin_prefetch(&idx_ui[indptr_ui[idx_iu[p + 4]]], 0, 0);
+        const int32_t u = idx_iu[p];
+        const double viu = dat_iu[p];
+        const int64_t qhi = indptr_ui[u + 1];
+        for (int64_t q = indptr_ui[u]; q < qhi; ++q) {
+          const int32_t j = idx_ui[q];
+          const double prev = acc[j];
+          if (prev != prev) {  // NaN = first touch
+            touched.push_back(j);
+            acc[j] = viu * dat_ui[q];
+          } else {
+            acc[j] = prev + viu * dat_ui[q];
+          }
+        }
+      }
+      heap.clear();
+      for (const int32_t j : touched) {
+        const double v = acc[j];
+        if (static_cast<int64_t>(heap.size()) < K) {
+          heap.emplace_back(v, j);
+          std::push_heap(heap.begin(), heap.end(), less);
+        } else if (v > heap.front().first) {
+          std::pop_heap(heap.begin(), heap.end(), less);
+          heap.back() = {v, j};
+          std::push_heap(heap.begin(), heap.end(), less);
+        }
+        acc[j] = kEmpty;
+      }
+      int32_t *oc = out_cols + i * K;
+      double *ov = out_vals + i * K;
+      out_cnt[i] = static_cast<int32_t>(heap.size());
+      for (size_t s = 0; s < heap.size(); ++s) {
+        oc[s] = heap[s].second;
+        ov[s] = heap[s].first;
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------

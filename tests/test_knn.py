@@ -167,3 +167,50 @@ def test_all_pairs_knn_device_multichunk(monkeypatch):
         h_scores = sorted(host[row].data, reverse=True)
         d_scores = sorted(device[row].data, reverse=True)
         np.testing.assert_allclose(h_scores, d_scores, rtol=1e-5)
+
+
+def test_native_knn_all_pairs_matches_scipy_oracle():
+    """The fused SMMP kernel (native/packer.cpp:knn_all_pairs) must agree
+    with the blocked-scipy formulation on random signed data at every K."""
+    from implicit_tpu import native
+    from implicit_tpu.nearest_neighbours import _all_pairs_knn_host
+
+    rng = np.random.default_rng(5)
+    U, I, N = 200, 90, 1800
+    m = csr_matrix(
+        (rng.standard_normal(N), (rng.integers(0, U, N), rng.integers(0, I, N))),
+        shape=(U, I),
+    )
+    m.sum_duplicates()
+    iu = m.T.tocsr()
+    iu.sort_indices()
+    sim = (iu @ m).tocsr()
+
+    for K in (1, 4, 50, 500):
+        got = native.knn_all_pairs(iu, m, K)
+        if got is None:  # toolchain without g++: the scipy path covers it
+            break
+        got = csr_matrix((got[2], (got[0], got[1])), shape=(I, I))
+        for i in range(I):
+            vals = sim[i].data
+            k = min(K, len(vals))
+            grow = got[i]
+            assert grow.nnz == k
+            if k == 0:
+                continue
+            top = np.sort(vals)[::-1][:k]
+            # same K values selected (ties may differ in column identity)
+            assert np.allclose(np.sort(grow.data)[::-1], top, atol=1e-12)
+
+
+def test_host_knn_empty_and_dense_rows():
+    """Items with no users and items co-occurring with everything."""
+    from implicit_tpu.nearest_neighbours import _all_pairs_knn_host
+
+    m = csr_matrix(
+        np.array([[1.0, 0, 1, 0], [1, 0, 1, 0], [1, 0, 1, 0]])
+    )
+    sim = _all_pairs_knn_host(m, 2).tocsr()
+    assert sim[1].nnz == 0 and sim[3].nnz == 0  # empty items: no neighbours
+    assert set(sim[0].indices) == {0, 2}
+    assert np.allclose(sim[0].data, 3.0)
