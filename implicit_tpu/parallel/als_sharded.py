@@ -20,12 +20,12 @@ updated state, all-gather the read-only operand) rather than a translation of
 the reference's single-GPU design (/root/reference/implicit/gpu/als.cu:169,
 "TODO: multi-gpu support").
 
-The solve runs the einsum formulation by default: measured at mesh=1 it is
-within 6% of the same formulation outside shard_map (0.414 vs 0.392 s/iter,
-last.fm shape f=128 bf16), i.e. the layout itself is near-zero-overhead,
-while the Mosaic tile kernels — though they compile and validate inside the
-shard — currently degrade ~2.5x at the XLA<->Mosaic boundary under manual
-sharding (0.738 vs 0.295 s/iter). ``use_pallas=True`` keeps them available.
+On TPU the solve runs the same Pallas tile kernels as the single-device
+path — measured at mesh=1 they are penalty-free inside shard_map (0.2751
+s/iter vs 0.2750 outside, last.fm shape f=128 bf16,
+benchmarks/round4_shardmap_probe.py), so a multi-chip mesh scales the FAST
+formulation. The einsum formulation (0.371 s/iter, also layout-overhead-
+free) remains as the off-TPU / f64 / ``use_pallas=False`` path.
 
 Because the gathered table is laid out in shard order, class ``indices`` are
 stored *pre-permuted* (global column id ``i`` -> ``(i % D) * block + i // D``)
@@ -378,14 +378,21 @@ def fit(X, Y, user_sh, item_sh, mesh, reg, iterations, axis_name="d",
     All iterations are enqueued asynchronously (one compiled step, no host
     round-trip between them).
     """
-    # Default OFF (measured, v5e, last.fm shape, f=128 bf16, mesh=1): the
-    # einsum formulation inside shard_map costs 0.414 s/iter vs 0.392
-    # outside (+6% — near-perfect per-chip efficiency), while the Mosaic
-    # tile kernels degrade 2.5x inside shard_map (0.738 vs 0.295 outside,
-    # an XLA<->Mosaic boundary effect, not solver math). Opt in with
-    # use_pallas=True to re-measure on future toolchains.
-    if use_pallas is None or jnp.dtype(compute_dtype) == jnp.float64:
+    # Same default policy as the single-device path (ops.als.solve_side):
+    # the Mosaic tile kernels run at FULL speed inside shard_map — measured
+    # v5e, last.fm shape, f=128 bf16, mesh=1, device-resident donated
+    # chains: shard_map Pallas 0.2751 s/iter == no-mesh Pallas 0.2750, vs
+    # einsum 0.371 both inside and out (benchmarks/round4_shardmap_probe.py).
+    # The round-3 "2.5x Mosaic-inside-shard_map penalty" (0.738 s/iter) was
+    # a measurement artifact: the timed region re-uploaded factor tables
+    # after each donated fit consumed them, and the einsum cell happened to
+    # overlap uploads better. f64 falls back (kernels are f32/bf16-only).
+    if jnp.dtype(compute_dtype) == jnp.float64:
         use_pallas = False
+    elif use_pallas is None:
+        from ..ops.als import PALLAS_IN_FIT, _on_tpu
+
+        use_pallas = PALLAS_IN_FIT and _on_tpu(X)
     step = _build_step(
         mesh, axis_name,
         (len(user_sh.classes), user_sh.empty_rows is not None),

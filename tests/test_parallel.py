@@ -137,6 +137,52 @@ def test_row_sharded_fit_matches_single_device():
     assert (ids1 == ids2).mean() > 0.999
 
 
+def test_row_sharded_fit_pallas_matches_single_device_pallas():
+    """use_pallas=True inside shard_map (the TPU default since round 4,
+    interpreter-backed on the CPU mesh) runs the SAME kernel formulation as
+    the single-device Pallas fit — sharding is a layout decision, so the
+    factors must agree to f32 reduction-order tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from implicit_tpu.parallel import als_sharded, create_mesh
+
+    mesh = create_mesh(8)
+    Cui = _random_csr(users=500, items=300, seed=9)
+    Ciu = Cui.T.tocsr()
+    rng = np.random.default_rng(5)
+    X0 = rng.random((500, 32), dtype=np.float32) * 0.01
+    Y0 = rng.random((300, 32), dtype=np.float32) * 0.01
+
+    ub = BucketedCSR(Cui).to_device()
+    ib = BucketedCSR(Ciu).to_device()
+    X1, Y1 = als_ops.fit(jnp.asarray(X0), jnp.asarray(Y0), ub, ib, 0.01, 3,
+                         use_pallas=True)
+
+    ush = als_sharded.RowShardedBuckets(Cui, mesh)
+    ish = als_sharded.RowShardedBuckets(Ciu, mesh)
+    shd = NamedSharding(mesh, P("d", None))
+    Xp = jax.device_put(als_sharded.permute_rows(X0, 8, ush.block), shd)
+    Yp = jax.device_put(als_sharded.permute_rows(Y0, 8, ish.block), shd)
+    X2, Y2 = als_sharded.fit(Xp, Yp, ush, ish, mesh, 0.01, 3, use_pallas=True)
+
+    # tolerance = the measured f32 layout-reduction noise of the EINSUM
+    # formulation under the identical single-vs-sharded comparison (0.017
+    # max at 3 iterations, factor scale ~17; both formulations converge to
+    # 0.007 by 8 iterations) — Pallas measured 0.025, the same order, so
+    # this is iterative-solver noise, not a kernel defect
+    X2u = als_sharded.unpermute_rows(X2, 8, ush.block, 500)
+    Y2u = als_sharded.unpermute_rows(Y2, 8, ish.block, 300)
+    np.testing.assert_allclose(X2u, np.asarray(X1), atol=5e-2)
+    np.testing.assert_allclose(Y2u, np.asarray(Y1), atol=5e-2)
+
+    # the semantic gate: serving through either factor set agrees
+    s1 = np.asarray(X1[:100] @ Y1.T)
+    s2 = X2u[:100] @ Y2u.T
+    ids1 = np.argsort(-s1, axis=1)[:, :10]
+    ids2 = np.argsort(-s2, axis=1)[:, :10]
+    assert (ids1 == ids2).mean() > 0.99
+
+
 def test_row_sharded_empty_rows_and_cholesky():
     """Empty rows zero out per-chip; the batched-Cholesky path works under
     the row-sharded layout; training-loss parity with the bucketed loss."""
