@@ -334,7 +334,22 @@ def bench_serving_streaming(factors=128, batch=1024, k=10):
     ids_r, _ = topk(items, queries, k)
     agreement = float(np.mean([
         len(np.intersect1d(a, b)) / k for a, b in zip(ids_s, ids_r)]))
-    return {"users_per_s": round(batch / wall), "agreement_vs_resident": agreement}
+
+    # streaming x sharding composed (mesh=1 here; blocks row-shard over the
+    # mesh with an ICI candidate merge per block on real multi-chip)
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("d",))
+    topk_streaming(items, queries, k, mesh=mesh)  # warmup / compile
+    t0 = time.time()
+    ids_m, _ = topk_streaming(items, queries, k, mesh=mesh)
+    wall_m = time.time() - t0
+    mesh_agreement = float(np.mean(ids_m == ids_s))
+    return {"users_per_s": round(batch / wall),
+            "agreement_vs_resident": agreement,
+            "mesh_users_per_s": round(batch / wall_m),
+            "mesh_agreement_vs_single": mesh_agreement}
 
 
 def bench_knn_fit(Cui):

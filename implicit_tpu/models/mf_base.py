@@ -26,10 +26,16 @@ from ..recommender_base import RecommenderBase
 class _StreamTable:
     """Marker for a factor table served via ops.topk.topk_streaming: the
     host array stays host-resident and row blocks stream per call. Chosen
-    automatically when the table wouldn't fit the device memory budget."""
+    automatically when the table wouldn't fit the device memory budget.
+    ``mesh`` composes the two scale mechanisms: each streamed block is
+    row-sharded across the mesh (ops.topk._topk_core_block_sharded)."""
 
-    def __init__(self, array):
+    def __init__(self, array, mesh=None):
         self.array = array
+        self.mesh = mesh
+
+    def stream_kwargs(self):
+        return {} if self.mesh is None else {"mesh": self.mesh}
 
 
 class _ReadyFuture:
@@ -194,12 +200,17 @@ class MatrixFactorizationBase(RecommenderBase):
             return jnp.bfloat16
         return jnp.float32
 
-    def _table_streams(self, factors):
-        """True when ``factors`` is too large for device residency."""
+    def _table_streams(self, factors, n_shards=1):
+        """True when ``factors`` is too large for device residency.
+
+        ``n_shards`` scales the budget for mesh serving: a row-sharded
+        table only needs 1/D of its bytes resident per chip, so a mesh
+        multiplies the resident capacity before streaming kicks in."""
         if factors is None:
             return False
         itemsize = 2 if self._serving_dtype() != np.float32 else 4
-        return factors.shape[0] * factors.shape[1] * itemsize > _stream_threshold_bytes()
+        bytes_per_shard = factors.shape[0] * factors.shape[1] * itemsize // max(n_shards, 1)
+        return bytes_per_shard > _stream_threshold_bytes()
 
     def _user_factors_on_device(self):
         if self._user_factors_dev is None:
@@ -383,9 +394,14 @@ class MatrixFactorizationBase(RecommenderBase):
 
                 item_factors = jnp.asarray(item_factors, dtype=self._serving_dtype())
         elif mesh is not None:
-            # multi-chip serving: cached item-sharded table, ICI merge
-            item_factors, _, count = self._factors_on_mesh("item", mesh)
-            topk_kwargs = dict(mesh=mesh, n_items=count)
+            if self._table_streams(self.item_factors, n_shards=mesh.size):
+                # beyond even the MESH's pooled budget: stream blocks,
+                # each row-sharded over the chips (scale x scale)
+                item_factors = _StreamTable(self.item_factors, mesh=mesh)
+            else:
+                # multi-chip serving: cached item-sharded table, ICI merge
+                item_factors, _, count = self._factors_on_mesh("item", mesh)
+                topk_kwargs = dict(mesh=mesh, n_items=count)
         elif self._table_streams(self.item_factors):
             # beyond-budget catalog: the table stays on the host and serves
             # through ops.topk.topk_streaming (block uploads, exact results)
@@ -436,6 +452,7 @@ class MatrixFactorizationBase(RecommenderBase):
                 N,
                 filter_query_items=filter_query_items,
                 filter_items=filter_items,
+                **item_factors.stream_kwargs(),
             ))
         else:
             future = topk_async(
@@ -574,7 +591,8 @@ class MatrixFactorizationBase(RecommenderBase):
                     shape=(offset, n_cols))
             all_ids, all_scores = topk_streaming(
                 item_factors.array, queries, N,
-                filter_query_items=fqi, filter_items=filter_items)
+                filter_query_items=fqi, filter_items=filter_items,
+                **item_factors.stream_kwargs())
             offset = 0
             for _, _, _, n_rows, scalar in group:
                 yield _post_recommend(
@@ -685,8 +703,14 @@ class MatrixFactorizationBase(RecommenderBase):
                 factors = jnp.asarray(np.asarray(factors), dtype=self._serving_dtype())
                 norms = jnp.asarray(np.asarray(norms), dtype=jnp.float32)
         elif mesh is not None and which is not None:
-            factors, norms, count = self._factors_on_mesh(which, mesh)
-            topk_kwargs = dict(mesh=mesh, n_items=count)
+            host = self.user_factors if which == "user" else self.item_factors
+            if self._table_streams(host, n_shards=mesh.size):
+                # beyond even the mesh's pooled budget: stream row-sharded
+                # blocks (norms stay host-side for the streaming call)
+                factors = _StreamTable(host, mesh=mesh)
+            else:
+                factors, norms, count = self._factors_on_mesh(which, mesh)
+                topk_kwargs = dict(mesh=mesh, n_items=count)
         return factors, norms, topk_kwargs
 
     def _similar_async(self, query_factor, query_norm, factors, norms, N,
@@ -712,6 +736,7 @@ class MatrixFactorizationBase(RecommenderBase):
                 N,
                 item_norms=np.asarray(norms),
                 filter_items=filter_ids,
+                **factors.stream_kwargs(),
             ))
         else:
             future = topk_async(
@@ -743,7 +768,8 @@ class MatrixFactorizationBase(RecommenderBase):
             queries = np.concatenate([g[0] for g in group])
             all_ids, all_scores = topk_streaming(
                 factors.array, queries, N,
-                item_norms=norms_np, filter_items=filter_ids)
+                item_norms=norms_np, filter_items=filter_ids,
+                **factors.stream_kwargs())
             offset = 0
             for _, qn, n_rows, scalar in group:
                 ids = all_ids[offset : offset + n_rows]

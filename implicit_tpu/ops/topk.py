@@ -223,6 +223,77 @@ def _topk_core_block(items, queries, norms, qf_rows, qf_cols, filter_items,
     return vals, ids
 
 
+@functools.cache
+def _topk_core_block_sharded(mesh, axis_name="d"):
+    """Item-sharded twin of :func:`_topk_core_block` for streaming over a
+    mesh: each streamed block is row-sharded across the chips, every chip
+    scores its slice of the block and selects a local top-k, and the
+    candidates ride ICI once for the block's merge (the same ICI candidate
+    merge as :func:`_topk_core_sharded`). Composes the two scale mechanisms
+    — streaming (beyond-HBM tables) and sharding — that the reference's
+    single-device engine (knn.cu:131-265) has no analogue for.
+
+    Filter ids arrive block-local (the host pre-translates, exactly as in
+    the single-device block core) and are mapped to shard coordinates
+    inside the shard. Returns replicated (Q, k) global ids/scores with the
+    padded tail of the final block masked and id -1 on sentinel-only rows.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "use_norms", "use_qf", "use_if"))
+    def run(block, queries, norms, qf_rows, qf_cols, filter_items, n_valid,
+            offset, k, use_norms, use_qf, use_if):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(None, None), P(axis_name),
+                      P(None), P(None), P(None), P(), P()),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def shard_fn(block_l, queries_r, norms_l, qf_rows_r, qf_cols_r,
+                     fi_r, n_valid_r, offset_r):
+            n_local = block_l.shape[0]
+            loff = jax.lax.axis_index(axis_name) * n_local
+            scores = jnp.dot(queries_r.astype(block_l.dtype), block_l.T,
+                             precision=(jax.lax.Precision.HIGHEST
+                                        if block_l.dtype == jnp.float32
+                                        else None),
+                             preferred_element_type=jnp.float32)
+            if use_norms:
+                scores = scores / norms_l[None, :]
+            # block-local row ids of this shard's slice; mask the padded
+            # tail of the final block
+            blk_ids = loff + jnp.arange(n_local, dtype=jnp.int32)
+            scores = jnp.where(blk_ids[None, :] < n_valid_r, scores, NEG_MAX)
+            if use_if:
+                li = jnp.where((fi_r >= loff) & (fi_r < loff + n_local),
+                               fi_r - loff, n_local)
+                scores = scores.at[:, li].set(NEG_MAX, mode="drop")
+            if use_qf:
+                lc = jnp.where((qf_cols_r >= loff) & (qf_cols_r < loff + n_local),
+                               qf_cols_r - loff, n_local)
+                scores = scores.at[qf_rows_r, lc].set(NEG_MAX, mode="drop")
+            k_local = min(k, n_local)
+            vals, idx = jax.lax.top_k(scores, k_local)
+            blk_idx = idx + loff
+            vals_g = jax.lax.all_gather(vals, axis_name, axis=1, tiled=True)
+            idx_g = jax.lax.all_gather(blk_idx, axis_name, axis=1, tiled=True)
+            merged_vals, pos = jax.lax.top_k(vals_g, k)
+            merged_idx = jnp.take_along_axis(idx_g, pos, axis=1)
+            # sentinel-only winners (padded tail / fully filtered) -> id -1
+            ids = jnp.where(merged_idx < n_valid_r,
+                            merged_idx + offset_r, -1)
+            return merged_vals, ids
+
+        return shard_fn(block, queries, norms, qf_rows, qf_cols,
+                        filter_items, n_valid, offset)
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_merge(vals_a, ids_a, vals_b, ids_b, k):
     """Merges two (Q, k) candidate sets into the running top-k."""
@@ -234,7 +305,7 @@ def _topk_merge(vals_a, ids_a, vals_b, ids_b, k):
 
 def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
                    filter_items=None, block_rows=None, num_threads=0,
-                   q_chunk_rows=None):
+                   q_chunk_rows=None, mesh=None, axis_name="d"):
     """Exact top-k over an item table too large for device residency.
 
     The serving path for catalogs whose factor table outgrows HBM: ``items``
@@ -252,6 +323,13 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
     pass total — blocks stream in the outer loop, every query chunk scores
     each block while it is resident). 16-bit item tables stream and score
     in bfloat16.
+
+    With ``mesh=`` the two scale mechanisms compose: each streamed block is
+    row-sharded across the mesh (every chip holds and scores 1/D of the
+    block, so the per-chip working set shrinks by D and the GEMMs run in
+    parallel), local top-k candidates ride ICI once per block for the merge
+    (:func:`_topk_core_block_sharded`), and the running candidate set stays
+    replicated. Results are identical to the single-device streaming path.
     """
     query = np.asarray(query) if not isinstance(query, jax.Array) else query
     if query.ndim == 1:
@@ -277,6 +355,18 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
     block_rows = int(min(max(_pad_dim(block_rows), _pad_dim(k_eff)),
                          _pad_dim(n_items)))
 
+    D = 1
+    rep_shd = blk_shd = nrm_shd = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        D = mesh.shape[axis_name]
+        block_rows = -(-block_rows // D) * D  # even per-chip slices
+        rep_shd = NamedSharding(mesh, P())
+        blk_shd = NamedSharding(mesh, P(axis_name, None))
+        nrm_shd = NamedSharding(mesh, P(axis_name))
+        sharded_core = _topk_core_block_sharded(mesh, axis_name)
+
     # uniform padded query-chunk width: the block kernel compiles once per
     # (chunk, block) shape instead of once per caller batch size
     if q_chunk_rows is None:
@@ -288,7 +378,8 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
         qc = np.zeros((q_chunk, F), dtype=np.float32)
         qc[: min(q_chunk, q_rows - c0)] = np.asarray(
             query[c0 : c0 + q_chunk], dtype=np.float32)
-        q_devs.append(jnp.asarray(qc))
+        q_devs.append(jnp.asarray(qc) if mesh is None
+                      else jax.device_put(qc, rep_shd))
 
     fi = (np.asarray(filter_items, dtype=np.int64)
           if filter_items is not None and len(filter_items) > 0 else None)
@@ -309,14 +400,19 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
         if rows_here < block_rows:
             block = np.concatenate(
                 [block, np.zeros((block_rows - rows_here, F), dtype=table_dt)])
-        block_dev = jax.device_put(block)
+        block_dev = jax.device_put(block) if mesh is None else \
+            jax.device_put(block, blk_shd)
 
         if item_norms is not None:
             nrm = np.ones(block_rows, dtype=np.float32)
             nrm[:rows_here] = np.asarray(item_norms[start:stop], dtype=np.float32)
-            norms_dev = jnp.asarray(nrm)
-        else:
+            norms_dev = (jnp.asarray(nrm) if mesh is None
+                         else jax.device_put(nrm, nrm_shd))
+        elif mesh is None:
             norms_dev = jnp.zeros((1,), dtype=jnp.float32)
+        else:
+            # unused (use_norms False); one element per shard
+            norms_dev = jax.device_put(np.zeros(D, dtype=np.float32), nrm_shd)
 
         if fi is not None:
             in_block = fi[(fi >= start) & (fi < stop)] - start
@@ -324,10 +420,13 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
             fi_local = np.full(_pad_dim(max(len(in_block), 1)), block_rows,
                                dtype=np.int32)
             fi_local[: len(in_block)] = in_block
-            fi_dev = jnp.asarray(fi_local)
+            fi_dev = (jnp.asarray(fi_local) if mesh is None
+                      else jax.device_put(fi_local, rep_shd))
         else:
             use_if = False
             fi_dev = jnp.zeros((1,), dtype=jnp.int32)
+            if mesh is not None:
+                fi_dev = jax.device_put(np.zeros(1, dtype=np.int32), rep_shd)
 
         if qf_col is not None:
             lo = np.searchsorted(qf_col, start)
@@ -350,18 +449,33 @@ def topk_streaming(items, query, k, item_norms=None, filter_query_items=None,
                 qf_cols_p = np.zeros(padded_nnz, dtype=np.int32)
                 qf_rows_p[:nnz] = rows_sel
                 qf_cols_p[:nnz] = cols_sel
-                qf_rows_dev = jnp.asarray(qf_rows_p)
-                qf_cols_dev = jnp.asarray(qf_cols_p)
+                if mesh is None:
+                    qf_rows_dev = jnp.asarray(qf_rows_p)
+                    qf_cols_dev = jnp.asarray(qf_cols_p)
+                else:
+                    qf_rows_dev = jax.device_put(qf_rows_p, rep_shd)
+                    qf_cols_dev = jax.device_put(qf_cols_p, rep_shd)
             else:
                 use_qf = False
                 qf_rows_dev = jnp.zeros((1,), dtype=jnp.int32)
                 qf_cols_dev = jnp.zeros((1,), dtype=jnp.int32)
+                if mesh is not None:
+                    z = np.zeros(1, dtype=np.int32)
+                    qf_rows_dev = jax.device_put(z, rep_shd)
+                    qf_cols_dev = jax.device_put(z, rep_shd)
 
-            vals, ids = _topk_core_block(
-                block_dev, q_devs[ci], norms_dev, qf_rows_dev, qf_cols_dev,
-                fi_dev, jnp.int32(rows_here), jnp.int32(start),
-                k_eff, item_norms is not None, use_qf, use_if,
-            )
+            if mesh is None:
+                vals, ids = _topk_core_block(
+                    block_dev, q_devs[ci], norms_dev, qf_rows_dev, qf_cols_dev,
+                    fi_dev, jnp.int32(rows_here), jnp.int32(start),
+                    k_eff, item_norms is not None, use_qf, use_if,
+                )
+            else:
+                vals, ids = sharded_core(
+                    block_dev, q_devs[ci], norms_dev, qf_rows_dev, qf_cols_dev,
+                    fi_dev, jnp.int32(rows_here), jnp.int32(start),
+                    k_eff, item_norms is not None, use_qf, use_if,
+                )
             if running[ci] is None:
                 running[ci] = (vals, ids)
             else:

@@ -485,3 +485,97 @@ def test_row_sharded_fit_on_device_pack_end_to_end():
                                atol=2e-4)
     np.testing.assert_allclose(single.item_factors, meshed.item_factors,
                                atol=2e-4)
+
+
+def test_streaming_topk_on_mesh_matches_single_device():
+    """topk_streaming(mesh=...) — blocks row-sharded over the chips with an
+    ICI candidate merge per block — returns results identical to the
+    single-device streaming path and to resident topk, across filters,
+    norms, block boundaries, and k > n_items."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.ops.topk import topk, topk_streaming
+
+    mesh = create_mesh(8)
+    rng = np.random.default_rng(31)
+    items = rng.standard_normal((700, 24)).astype(np.float32)
+    queries = rng.standard_normal((33, 24)).astype(np.float32)
+    qf = sparse_random(33, 700, density=0.05,
+                       random_state=np.random.RandomState(32), format="csr")
+    qf.data[:] = 1.0
+    fi = rng.choice(700, size=40, replace=False)
+    norms = np.linalg.norm(items, axis=1)
+
+    kw = dict(item_norms=norms, filter_query_items=qf, filter_items=fi)
+    ids_r, vals_r = topk(items, queries, 10, **kw)
+    ids_s, vals_s = topk_streaming(items, queries, 10, block_rows=256, **kw)
+    ids_m, vals_m = topk_streaming(items, queries, 10, block_rows=256,
+                                   mesh=mesh, **kw)
+    np.testing.assert_array_equal(ids_r, ids_m)
+    np.testing.assert_array_equal(ids_s, ids_m)
+    np.testing.assert_allclose(vals_r, vals_m, rtol=1e-6)
+
+    # no filters/norms; block size not a multiple of the mesh (rounds up)
+    ids_r2, _ = topk(items, queries, 7)
+    ids_m2, _ = topk_streaming(items, queries, 7, block_rows=100, mesh=mesh)
+    np.testing.assert_array_equal(ids_r2, ids_m2)
+
+    # k exceeding the catalog pads with -1 exactly like single-device
+    small = items[:7]
+    ids_r3, vals_r3 = topk(small, queries[:3], 12)
+    ids_m3, vals_m3 = topk_streaming(small, queries[:3], 12, block_rows=128,
+                                     mesh=mesh)
+    np.testing.assert_array_equal(ids_r3, ids_m3)
+    assert (ids_m3[:, 7:] == -1).all()
+
+
+def test_meshed_model_streams_beyond_pooled_budget(monkeypatch):
+    """A meshed model whose table exceeds the MESH's pooled budget serves
+    through sharded streaming (blocks row-sharded per pass) with results
+    identical to single-device resident serving."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.models import mf_base
+
+    rng = np.random.default_rng(33)
+    users, items_n, f = 90, 120, 16
+    uf = rng.standard_normal((users, f)).astype(np.float32)
+    itf = rng.standard_normal((items_n, f)).astype(np.float32)
+    likes = sparse_random(users, items_n, density=0.1,
+                          random_state=np.random.RandomState(34), format="csr")
+    likes.data[:] = 1.0
+
+    resident = AlternatingLeastSquares(factors=f)
+    resident.user_factors = uf.copy()
+    resident.item_factors = itf.copy()
+    userids = np.arange(40)
+    r_ids, r_scores = resident.recommend(userids, likes[userids], N=8)
+    r_sim, _ = resident.similar_items(np.arange(20), N=6)
+
+    # threshold below table-bytes/8: even the pooled mesh budget overflows
+    monkeypatch.setattr(mf_base, "_stream_threshold_bytes", lambda: 128)
+    meshed = AlternatingLeastSquares(factors=f, mesh=8)
+    meshed.user_factors = uf.copy()
+    meshed.item_factors = itf.copy()
+    m_ids, m_scores = meshed.recommend(userids, likes[userids], N=8)
+    m_sim, _ = meshed.similar_items(np.arange(20), N=6)
+
+    np.testing.assert_array_equal(r_ids, m_ids)
+    np.testing.assert_allclose(r_scores, m_scores, rtol=1e-6)
+    np.testing.assert_array_equal(r_sim, m_sim)
+    # the resident mesh cache must never have been populated
+    assert not any(k[0] in ("user", "item")
+                   for k in meshed._mesh_serving_cache)
+
+    # above the pooled budget but below the single-chip one: resident
+    # mesh serving takes over again
+    table_bytes = items_n * f * 4
+    monkeypatch.setattr(mf_base, "_stream_threshold_bytes",
+                        lambda: table_bytes // 4)
+    meshed2 = AlternatingLeastSquares(factors=f, mesh=8)
+    meshed2.user_factors = uf.copy()
+    meshed2.item_factors = itf.copy()
+    m2_ids, _ = meshed2.recommend(userids, likes[userids], N=8)
+    np.testing.assert_array_equal(r_ids, m2_ids)
+    assert any(k[0] == "item" for k in meshed2._mesh_serving_cache)
