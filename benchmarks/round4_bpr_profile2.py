@@ -204,7 +204,7 @@ def main():
 
             return 0
 
-        jax.lax.fori_loop(0, G, body, 0, unroll=8)
+        jax.lax.fori_loop(0, G, body, 0)
 
         def drain(i, _):
             dma(G - 16 + i).wait()

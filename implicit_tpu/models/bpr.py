@@ -162,21 +162,32 @@ def _bpr_epoch_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "batch", "verify_neg", "bisect_iters", "mh",
-                     "sort_samples"),
+                     "sort_samples", "packed"),
     donate_argnums=(0, 1, 2),
 )
 def _bpr_epoch(
     X, Y, yb, userids, itemids, indptr, table, key, lr, reg,
     steps, batch, verify_neg, bisect_iters, mh, sort_samples=0,
+    packed=False,
 ):
     """One BPR training epoch: steps x batch sampled pairwise SGD updates.
 
     The item bias lives in its own (items,) vector ``yb`` rather than as a
-    glued factors+1 column (the reference layout, bpr.pyx:299-301): a
-    factors+1-wide row pads to the next 128-lane multiple on TPU, so at
-    pow2 factor counts the glued layout doubles every gather/scatter's
-    traffic. The public numpy layout is reassembled at the fit boundary.
-    The user bias column is pinned to 1.0 and carries no state at all.
+    glued factors+1 column (the reference layout, bpr.pyx:299-301). Both
+    layouts were measured on the chip (round 4,
+    benchmarks/round4_bpr_glued.py): the gather/scatter engine is
+    PER-INDEX bound, so the glued layout's 256-lane rows at pow2 factor
+    counts cost 32% more epoch wall than the split layout's 4 extra small
+    bias ops — split stays. The public numpy layout is reassembled at the
+    fit boundary. The user bias column is pinned to 1.0 and carries no
+    state at all.
+
+    ``packed=True`` (the default path when the cuckoo verifier is active):
+    ``userids`` is the (nnz, 2) int32 array of interleaved (user, item)
+    pairs, so each step's u+liked arrive in ONE 8B-row gather and disliked
+    in a second — 3 small 4B index gathers become 2 row gathers, a
+    measured 7% epoch cut (2.619 -> 2.448 s at last.fm f=128). Identical
+    samples (same RNG draws), bit-identical training statistics.
     """
     n_samples = userids.shape[0]
 
@@ -186,9 +197,14 @@ def _bpr_epoch(
         liked_idx = jax.random.randint(k1, (batch,), 0, n_samples)
         disliked_idx = jax.random.randint(k2, (batch,), 0, n_samples)
 
-        u = userids[liked_idx]
-        liked = itemids[liked_idx]
-        disliked = itemids[disliked_idx]
+        if packed:
+            pair = userids[liked_idx]
+            u, liked = pair[:, 0], pair[:, 1]
+            disliked = userids[disliked_idx][:, 1]
+        else:
+            u = userids[liked_idx]
+            liked = itemids[liked_idx]
+            disliked = itemids[disliked_idx]
         if sort_samples:
             order = jnp.argsort(u)
             u = u[order]
@@ -486,9 +502,23 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
             X = jnp.asarray(self.user_factors[:, : self.factors], dtype=jnp.float32)
             Y = jnp.asarray(self.item_factors[:, : self.factors], dtype=jnp.float32)
         yb = jnp.asarray(self.item_factors[:, self.factors], dtype=jnp.float32)
-        uids = jnp.asarray(userids)
-        iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
-        indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
+        # packed (user, item) sample flats when the kernel never needs the
+        # raw flats (cuckoo verifier or verification off): u+liked ride ONE
+        # row gather per step — measured 7% epoch cut (see _bpr_epoch).
+        # The bisection fallback and the measurement variants keep the
+        # split flats (they index them independently).
+        packed = ((mh is not None or not self.verify_negative_samples)
+                  and mesh is None and not fused and not BPR_SORT_SAMPLES)
+        dummy = jnp.zeros((1,), dtype=jnp.int32)
+        if packed:
+            uids = jnp.asarray(
+                np.stack([userids, user_items.indices.astype(np.int32)], axis=1))
+            iids = dummy
+            indptr = dummy
+        else:
+            uids = jnp.asarray(userids)
+            iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
+            indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
         table_d = jnp.asarray(table)
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
@@ -519,7 +549,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                             X, Y, yb, uids, iids, indptr, table_d, subkey,
                             jnp.float32(self.learning_rate), jnp.float32(self.regularization),
                             steps, batch, self.verify_negative_samples, bisect_iters, mh,
-                            sort_samples=BPR_SORT_SAMPLES,
+                            sort_samples=BPR_SORT_SAMPLES, packed=packed,
                         )
                     correct = int(correct)
                     skipped = int(skipped)

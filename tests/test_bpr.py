@@ -38,3 +38,54 @@ def test_unliked_users_items_zeroed():
     np.testing.assert_allclose(model.user_factors[4, :-1], 0.0)
     np.testing.assert_allclose(model.user_factors[4, -1], 1.0)
     np.testing.assert_allclose(model.item_factors[4], 0.0)
+
+
+def test_packed_sample_flats_match_split():
+    """The packed (user, item) sample-pair layout (one row gather for
+    u+liked per step — the round-4 measured 7% epoch cut) draws the same
+    samples as the split flats and must produce BIT-IDENTICAL factors."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from implicit_tpu.models.bpr import _bpr_epoch
+    from implicit_tpu.ops import membership
+
+    rng = np.random.default_rng(0)
+    likes = sp.random(60, 40, density=0.2,
+                      random_state=np.random.RandomState(3), format="csr")
+    likes.data[:] = 1.0
+    likes.sort_indices()
+    counts = np.ediff1d(likes.indptr)
+    userids = np.repeat(np.arange(60, dtype=np.int32), counts)
+    pt = membership.build_pair_table(likes, row_ids=userids)
+    mh = (pt.a_bits, pt.b_bits, pt.bucket_bits)
+    table = jnp.asarray(pt.table)
+
+    X0 = rng.random((60, 8), dtype=np.float32)
+    Y0 = rng.random((40, 8), dtype=np.float32)
+    yb0 = rng.random(40, dtype=np.float32)
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    lr = jnp.float32(0.05)
+    reg = jnp.float32(0.01)
+    iids = jnp.asarray(likes.indices, dtype=jnp.int32)
+    indptr = jnp.asarray(likes.indptr, dtype=jnp.int32)
+    dummy = jnp.zeros((1,), dtype=jnp.int32)
+    pairs = jnp.asarray(
+        np.stack([userids, likes.indices.astype(np.int32)], axis=1))
+
+    out_split = _bpr_epoch(
+        jnp.asarray(X0), jnp.asarray(Y0), jnp.asarray(yb0),
+        jnp.asarray(userids), iids, indptr, table, key, lr, reg,
+        4, 64, True, 8, mh, 0, packed=False)
+    out_packed = _bpr_epoch(
+        jnp.asarray(X0), jnp.asarray(Y0), jnp.asarray(yb0),
+        pairs, dummy, dummy, table, key, lr, reg,
+        4, 64, True, 8, mh, 0, packed=True)
+
+    np.testing.assert_array_equal(np.asarray(out_split[0]), np.asarray(out_packed[0]))
+    np.testing.assert_array_equal(np.asarray(out_split[1]), np.asarray(out_packed[1]))
+    np.testing.assert_array_equal(np.asarray(out_split[2]), np.asarray(out_packed[2]))
+    assert int(out_split[3]) == int(out_packed[3])
+    assert int(out_split[4]) == int(out_packed[4])
