@@ -264,7 +264,8 @@ def _bpr_epoch(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect_iters, mh):
+def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg,
+                         bisect_iters, mh, packed=False):
     """Compiled multi-chip BPR epoch (cached per mesh/config).
 
     Each chip draws and verifies its slice of the minibatch (the per-sample
@@ -295,9 +296,14 @@ def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect
             liked_idx = jax.random.randint(k1, (local_batch,), 0, n_samples)
             disliked_idx = jax.random.randint(k2, (local_batch,), 0, n_samples)
 
-            u_l = userids[liked_idx]
-            liked_l = itemids[liked_idx]
-            disliked_l = itemids[disliked_idx]
+            if packed:
+                pair = userids[liked_idx]
+                u_l, liked_l = pair[:, 0], pair[:, 1]
+                disliked_l = userids[disliked_idx][:, 1]
+            else:
+                u_l = userids[liked_idx]
+                liked_l = itemids[liked_idx]
+                disliked_l = itemids[disliked_idx]
 
             skip_l = _verify_skip(indptr, itemids, table, u_l, disliked_l,
                                   verify_neg, bisect_iters, mh)
@@ -347,6 +353,7 @@ def _build_sharded_epoch(mesh, axis_name, steps, local_batch, verify_neg, bisect
 def _bpr_epoch_sharded(
     X, Y, yb, userids, itemids, indptr, table, key, lr, reg,
     steps, batch, verify_neg, bisect_iters, mh, mesh, axis_name="d",
+    packed=False,
 ):
     """Runs one multi-chip BPR epoch (see _build_sharded_epoch)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -360,7 +367,8 @@ def _bpr_epoch_sharded(
         for a in (X, Y, yb, userids, itemids, indptr, table)
     ]
     epoch = _build_sharded_epoch(
-        mesh, axis_name, steps, local_batch, verify_neg, bisect_iters, mh
+        mesh, axis_name, steps, local_batch, verify_neg, bisect_iters, mh,
+        packed,
     )
     return epoch(*args, jax.device_put(key, rep), lr, reg)
 
@@ -508,7 +516,8 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         # The bisection fallback and the measurement variants keep the
         # split flats (they index them independently).
         packed = ((mh is not None or not self.verify_negative_samples)
-                  and mesh is None and not fused and not BPR_SORT_SAMPLES)
+                  and not fused
+                  and (mesh is not None or not BPR_SORT_SAMPLES))
         dummy = jnp.zeros((1,), dtype=jnp.int32)
         if packed:
             uids = jnp.asarray(
@@ -536,6 +545,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                             X, Y, yb, uids, iids, indptr, table_d, subkey,
                             jnp.float32(self.learning_rate), jnp.float32(self.regularization),
                             steps, batch, self.verify_negative_samples, bisect_iters, mh, mesh,
+                            packed=packed,
                         )
                     elif fused:
                         W, yb, correct, skipped = _bpr_epoch_fused(
