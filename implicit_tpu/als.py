@@ -25,6 +25,7 @@ def AlternatingLeastSquares(
     random_state=None,
     mesh=None,
     grid="auto",
+    ingest="auto",
 ):
     """Alternating Least Squares.
 
@@ -64,6 +65,12 @@ def AlternatingLeastSquares(
         Row-length bucketing grid: "pow2" (the default) compiles several
         times faster on a fresh shape; "fine" buys the best steady-state
         s/iter at a larger one-time compile (see models.als)
+    ingest : {"auto", "host", "device"}, optional
+        Interaction-upload route: "auto" host-packs until the on-device
+        pack programs are compile-warm (fastest first fit), then switches
+        to the single-COO-upload device pack; "device" forces it (2x
+        measured ingestion wall at 50M-nnz scale once compiled, fewer
+        bytes over the transport); "host" always packs on the host
 
     Returns
     -------
@@ -82,4 +89,5 @@ def AlternatingLeastSquares(
         random_state=random_state,
         mesh=mesh,
         grid=grid,
+        ingest=ingest,
     )

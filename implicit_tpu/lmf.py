@@ -20,6 +20,7 @@ def LogisticMatrixFactorization(
     num_threads=0,
     random_state=None,
     mesh=None,
+    ingest="auto",
 ):
     """Logistic Matrix Factorization.
 
@@ -62,4 +63,5 @@ def LogisticMatrixFactorization(
         num_threads=num_threads,
         random_state=random_state,
         mesh=mesh,
+        ingest=ingest,
     )

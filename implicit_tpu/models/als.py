@@ -107,6 +107,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         random_state=None,
         mesh=None,
         grid="auto",
+        ingest="auto",
     ):
         super().__init__(num_threads=num_threads)
 
@@ -126,6 +127,14 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         if grid not in ("auto", "pow2", "fine"):
             raise ValueError(f"grid must be 'auto', 'pow2' or 'fine', got {grid!r}")
         self.grid = grid
+        if ingest not in ("auto", "host", "device"):
+            raise ValueError(
+                f"ingest must be 'auto', 'host' or 'device', got {ingest!r}")
+        # ingestion route (see sparse.pack_pair_on_device): "auto" host-packs
+        # until the device-pack programs are compile-warm (fast first fit);
+        # "device" forces the low-upload-byte on-device pack (2.06x measured
+        # ingestion-wall win at MSD scale once compiled)
+        self.ingest = ingest
 
         # cached f x f gramians
         self._YtY = None
@@ -208,7 +217,8 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         # side's flat arrays are derived on device)
         user_buckets, item_buckets = pack_pair_on_device(
             Cui, Ciu, target_entries=target, max_chunk_rows=65536,
-            grid=grid, data_dtype=solve_dtype)
+            grid=grid, data_dtype=solve_dtype,
+            mode=getattr(self, "ingest", "auto"))
         X = jnp.asarray(self.user_factors, dtype=solve_dtype)
         Y = jnp.asarray(self.item_factors, dtype=solve_dtype)
         log.debug("Bucketed CSR built + uploaded in %.3fs", time.time() - s)

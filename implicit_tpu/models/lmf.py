@@ -330,6 +330,7 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         num_threads=0,
         random_state=None,
         mesh=None,
+        ingest="auto",
     ):
         super().__init__(num_threads=num_threads)
         self.factors = factors
@@ -340,6 +341,10 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         self.neg_prop = neg_prop
         self.random_state = random_state
         self.mesh = mesh
+        if ingest not in ("auto", "host", "device"):
+            raise ValueError(
+                f"ingest must be 'auto', 'host' or 'device', got {ingest!r}")
+        self.ingest = ingest
 
     def fit(self, user_items, show_progress=True, callback=None):
         """Factorizes the user_items matrix (values treated as confidences)."""
@@ -399,7 +404,8 @@ class LogisticMatrixFactorization(MatrixFactorizationBase):
         else:
             # one COO upload + on-device packing (see sparse.pack_pair_on_device)
             user_buckets, item_buckets = pack_pair_on_device(
-                user_items, item_users, target_entries=target, grid="pow2")
+                user_items, item_users, target_entries=target, grid="pow2",
+                mode=getattr(self, "ingest", "auto"))
             X = jnp.asarray(self.user_factors, dtype=jnp.float32)
             Y = jnp.asarray(self.item_factors, dtype=jnp.float32)
         dssX = jnp.zeros_like(X)

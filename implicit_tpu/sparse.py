@@ -310,8 +310,82 @@ def _pack_side(plan, flat_indices, flat_data, indptr_dev):
     return buckets
 
 
+# device-pack warm registry: structure keys whose pack programs are known
+# compiled (process-local; mirrored as marker files in the persistent
+# compilation cache dir so warmth survives processes)
+_device_pack_warm = set()
+
+
+def _pack_structure_key(plan_u, plan_i):
+    import hashlib
+
+    def side(p):
+        return (p.shape, p.nnz, p.data_dtype.name,
+                tuple((c.L, c.n_chunks, c.C) for c in p.classes))
+
+    return hashlib.sha1(
+        repr((side(plan_u), side(plan_i))).encode()).hexdigest()[:16]
+
+
+def _pack_marker_path(key):
+    import os
+
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return None
+    return os.path.join(cache_dir, f"implicit_tpu_packwarm_{key}")
+
+
+def _device_pack_is_warm(key):
+    import os
+
+    if key in _device_pack_warm:
+        return True
+    path = _pack_marker_path(key)
+    return path is not None and os.path.exists(path)
+
+
+def _mark_device_pack_warm(key):
+    _device_pack_warm.add(key)
+    path = _pack_marker_path(key)
+    if path is not None:
+        try:
+            with open(path, "w"):
+                pass
+        except OSError:
+            pass
+
+
+def warm_device_pack(plan_u, plan_i, key, data_dtype):
+    """AOT-compiles the device-pack programs for one structure and records
+    the warm marker — subsequent ``mode="auto"`` fits of this structure
+    take the low-upload device-pack path at full speed. Compiled
+    executables land in the persistent cache, so warmth survives the
+    process. Synchronous by design: a background-timer variant measured
+    WORSE than no warming at all (294s vs 192s cold fit — its compile
+    requests contend with the fit's own through the compile service)."""
+    import jax
+
+    nnz = plan_u.nnz
+    flat_i = jax.ShapeDtypeStruct((nnz,), np.int32)
+    flat_d = jax.ShapeDtypeStruct((nnz,), np.dtype(data_dtype))
+    ip_u = jax.ShapeDtypeStruct((plan_u.n_rows + 1,), np.int32)
+    ip_i = jax.ShapeDtypeStruct((plan_i.n_rows + 1,), np.int32)
+    _get_transpose_flats().lower(flat_i, flat_d, ip_u).compile()
+    for plan, ip in ((plan_u, ip_u), (plan_i, ip_i)):
+        rows_t = tuple(jax.ShapeDtypeStruct(c.rows.shape, np.int32)
+                       for c in plan.classes)
+        lens_t = tuple(jax.ShapeDtypeStruct(c.lengths.shape, np.int32)
+                       for c in plan.classes)
+        Ls = tuple(c.L for c in plan.classes)
+        _get_pack_all().lower(flat_i, flat_d, ip, rows_t, lens_t, Ls).compile()
+    _mark_device_pack_warm(key)
+
+
 def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
-                        grid="fine", data_dtype=np.float32):
+                        grid="fine", data_dtype=np.float32, mode="auto"):
     """Both training sides from ONE raw-array upload + on-device packing.
 
     The padded (n_chunks, C, L) class tensors carry up to ~30% padding and
@@ -325,20 +399,37 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     gathers inside one jitted program per side. Output is numerically
     identical to ``BucketedCSR(...).to_device()`` for both sides.
 
+    ``mode`` routes by compile warmth (the round-4 cold-fit fix): the
+    device pack costs 4 extra compiled programs, each a compile-service
+    round trip on a cold cache — measured 192s vs 48s END-TO-END cold fit
+    at last.fm shape. ``"auto"`` host-packs unless the pack programs for
+    this structure are known compiled (marker file in the persistent
+    compile cache dir, written by any ``"device"`` run or by
+    :func:`warm_device_pack`); ``"device"``/``"host"`` force a path.
+    Ingestion-bound production pipelines (repeated huge uploads behind a
+    slow link) should run with ``ingest="device"`` on the model — the
+    measured steady-state win is 2.06x ingestion wall at MSD scale.
+
     ``Ciu`` must be ``Cui.T.tocsr()`` (callers already have it — only its
     host metadata is read; its arrays are NOT uploaded).
     """
     import jax.numpy as jnp
 
-    if Cui.nnz >= (1 << 31):
-        # the device pack addresses flat positions in int32; fall back to
-        # the host packer (which is int64 throughout) instead of wrapping
+    def host_pack():
         return (BucketedCSR(Cui, target_entries=target_entries,
                             max_chunk_rows=max_chunk_rows, grid=grid,
                             data_dtype=data_dtype).to_device(),
                 BucketedCSR(Ciu, target_entries=target_entries,
                             max_chunk_rows=max_chunk_rows, grid=grid,
                             data_dtype=data_dtype).to_device())
+
+    if mode == "host":
+        return host_pack()
+
+    if Cui.nnz >= (1 << 31):
+        # the device pack addresses flat positions in int32; fall back to
+        # the host packer (which is int64 throughout) instead of wrapping
+        return host_pack()
 
     plan_u = BucketedCSR(Cui, target_entries=target_entries,
                          max_chunk_rows=max_chunk_rows, grid=grid,
@@ -349,6 +440,10 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     if Cui.nnz == 0:
         return plan_u.to_device(), plan_i.to_device()
 
+    key = _pack_structure_key(plan_u, plan_i)
+    if mode == "auto" and not _device_pack_is_warm(key):
+        return host_pack()
+
     cols = jnp.asarray(np.asarray(Cui.indices, dtype=np.int32))
     data = jnp.asarray(np.asarray(Cui.data, dtype=data_dtype))
     indptr_u = jnp.asarray(np.asarray(Cui.indptr, dtype=np.int32))
@@ -357,4 +452,5 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     item_cols, item_data = _get_transpose_flats()(cols, data, indptr_u)
     user_buckets = _pack_side(plan_u, cols, data, indptr_u)
     item_buckets = _pack_side(plan_i, item_cols, item_data, indptr_i)
+    _mark_device_pack_warm(key)
     return user_buckets, item_buckets

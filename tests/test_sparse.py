@@ -88,7 +88,7 @@ def test_pack_pair_on_device_matches_host_packer():
         Cui.data = rng.integers(1, 9, Cui.nnz).astype(np.float32)
         Ciu = Cui.T.tocsr()
         got_u, got_i = pack_pair_on_device(Cui, Ciu, target_entries=1 << 12,
-                                           grid=grid)
+                                           grid=grid, mode="device")
         want_u = BucketedCSR(Cui, target_entries=1 << 12, grid=grid).to_device()
         want_i = BucketedCSR(Ciu, target_entries=1 << 12, grid=grid).to_device()
         for got, want in ((got_u, want_u), (got_i, want_i)):
@@ -114,3 +114,45 @@ def test_pack_pair_on_device_empty_matrix():
     got_u, got_i = pack_pair_on_device(Cui, Cui.T.tocsr())
     assert got_u.classes == [] and got_i.classes == []
     assert got_u.nnz == 0
+
+
+def test_pack_pair_auto_routes_by_warmth(monkeypatch):
+    """mode="auto" (the round-4 cold-fit fix): host-packs while the device
+    pack programs are cold (4 fewer compile-service round trips on first
+    contact — measured 192s vs 48s cold fit), switches to the device pack
+    once the structure is marked warm. Outputs are identical either way."""
+    from scipy.sparse import random as sparse_random
+
+    from implicit_tpu import sparse as sm
+
+    Cui = sparse_random(60, 40, density=0.1,
+                        random_state=np.random.RandomState(5), format="csr")
+    Cui.data = Cui.data.astype(np.float32)
+    Ciu = Cui.T.tocsr()
+
+    calls = []
+    real = sm._pack_side
+    monkeypatch.setattr(sm, "_pack_side",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.setattr(sm, "_device_pack_warm", set())
+    # ignore any marker files a previous process left in the cache dir
+    monkeypatch.setattr(sm, "_pack_marker_path", lambda key: None)
+
+    # cold: auto takes the host path (no device-pack program runs)
+    a_u, a_i = sm.pack_pair_on_device(Cui, Ciu, mode="auto")
+    assert calls == []
+
+    # device mode runs the pack programs and marks the structure warm
+    d_u, d_i = sm.pack_pair_on_device(Cui, Ciu, mode="device")
+    assert len(calls) == 2
+
+    # warm: auto now takes the device path
+    w_u, w_i = sm.pack_pair_on_device(Cui, Ciu, mode="auto")
+    assert len(calls) == 4
+
+    for a, b in ((a_u, d_u), (d_u, w_u), (a_i, d_i), (d_i, w_i)):
+        for ca, cb in zip(a.classes, b.classes):
+            np.testing.assert_array_equal(np.asarray(ca.indices),
+                                          np.asarray(cb.indices))
+            np.testing.assert_array_equal(np.asarray(ca.data),
+                                          np.asarray(cb.data))
