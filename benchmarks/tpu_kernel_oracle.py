@@ -1,0 +1,126 @@
+"""On-hardware Pallas kernel oracle: real Mosaic vs the jnp reference.
+
+CI exercises the kernels through the Pallas interpreter on CPU
+(tests/test_pallas.py); this script runs the SAME oracle checks with
+``interpret=False`` on the attached TPU, covering real-Mosaic behaviors
+the interpreter can't (lane tiling, scoped-VMEM limits, the documented
+bf16-reshape class of miscompiles — ops/pallas_ops.py). Run it after any
+kernel or toolchain change:
+
+    PYTHONPATH=. python benchmarks/tpu_kernel_oracle.py
+
+Exit code 0 = every case within tolerance. Shapes mirror the CI matrix
+plus the wide-factor and long-row regression shapes.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from implicit_tpu.ops.als import _masked_cg, _weights  # noqa: E402
+from implicit_tpu.ops.pallas_ops import (  # noqa: E402
+    cg_solve_full, gramian_cg_solve, weighted_matvec,
+    weighted_matvec_reference)
+
+FAILURES = []
+
+
+def check(name, got, want, rtol, atol):
+    got = np.asarray(got, dtype=np.float32)
+    want = np.asarray(want, dtype=np.float32)
+    err = np.max(np.abs(got - want) / (np.abs(want) * rtol + atol + 1e-30))
+    ok = bool(np.isfinite(got).all()) and err <= 1.0
+    print(f"{'PASS' if ok else 'FAIL'} {name:50s} relerr={err:8.3f}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def composed_cg(Yu, dat, x0, YtY_reg, cg_steps):
+    w, bv = _weights(dat)
+    r = weighted_matvec_reference(Yu, w, bv, x0, 1.0, -1.0) - x0 @ YtY_reg
+    return _masked_cg(
+        x0, r,
+        lambda v: weighted_matvec_reference(Yu, w, bv, v, 0.0, 1.0) + v @ YtY_reg,
+        cg_steps)
+
+
+def cg_case(C, L, F, seed, table_dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    Yu = jnp.asarray(rng.standard_normal((C, L, F), dtype=np.float32) * 0.1,
+                     dtype=table_dtype)
+    dat = rng.random((C, L), dtype=np.float32) * 5 + 1
+    dat[:, -2:] = 0.0  # padding tail
+    x0 = jnp.asarray(rng.standard_normal((C, F), dtype=np.float32) * 0.01)
+    Y = rng.standard_normal((64, F), dtype=np.float32) * 0.1
+    YtY_reg = jnp.asarray(Y.T @ Y + 0.05 * np.eye(F, dtype=np.float32))
+    return Yu, jnp.asarray(dat), x0, YtY_reg
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev, flush=True)
+    if dev.platform not in ("tpu", "axon"):
+        print("NOT a TPU — this script validates real-Mosaic lowering; "
+              "use tests/test_pallas.py on CPU.", flush=True)
+        sys.exit(2)
+
+    # weighted matvec: f32 and bf16 tables, both (alpha, beta) modes
+    for C, L, F in [(64, 8, 128), (128, 96, 128), (16, 256, 128),
+                    (32, 64, 256), (8, 24, 64)]:
+        rng = np.random.default_rng(C + L)
+        Yu = jnp.asarray(rng.standard_normal((C, L, F), dtype=np.float32))
+        w = jnp.asarray(rng.random((C, L), dtype=np.float32))
+        bv = jnp.asarray(rng.random((C, L), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((C, F), dtype=np.float32))
+        for alpha, beta in [(1.0, -1.0), (0.0, 1.0)]:
+            got = weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=False)
+            want = weighted_matvec_reference(Yu, w, bv, v, alpha, beta)
+            check(f"wmatvec f32 C{C} L{L} F{F} a{alpha} b{beta}",
+                  got, want, 1e-3, 1e-3)
+        got = weighted_matvec(Yu.astype(jnp.bfloat16), w, bv, v, 1.0, -1.0,
+                              interpret=False)
+        want = weighted_matvec_reference(Yu.astype(jnp.bfloat16), w, bv, v,
+                                         1.0, -1.0)
+        check(f"wmatvec bf16 C{C} L{L} F{F}", got, want, 5e-2, 1.0)
+
+    # CG kernels: two oracles per case. (1) real Mosaic vs the Pallas
+    # INTERPRETER on identical inputs — the exact-formulation lowering
+    # check, tight tolerance (measured 5e-7 when healthy); (2) vs the
+    # composed einsum formulation — loose, bounds CG reduction-order noise
+    # (measured up to ~4e-3 f32 on ill-conditioned tiny rows).
+    for shape in [(16, 64, 128), (16, 96, 256), (8, 24, 64)]:
+        for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
+                            (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
+            Yu, dat, x0, YtY = cg_case(*shape, seed=shape[1], table_dtype=dt)
+            got = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=False)
+            interp = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=True)
+            check(f"cg_full {tag} {shape} mosaic-vs-interp", got, interp,
+                  1e-5, 1e-5)
+            check(f"cg_full {tag} {shape} vs-composed", got,
+                  composed_cg(Yu, dat, x0, YtY, 3), *lo)
+
+    # gramian-build CG (long rows), incl. the scoped-VMEM regression shapes
+    for shape in [(16, 1536, 128), (16, 768, 256), (8, 2048, 64)]:
+        for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
+                            (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
+            Yu, dat, x0, YtY = cg_case(*shape, seed=shape[2], table_dtype=dt)
+            got = gramian_cg_solve(Yu, dat, x0, YtY, cg_steps=3,
+                                   interpret=False)
+            interp = gramian_cg_solve(Yu, dat, x0, YtY, cg_steps=3,
+                                      interpret=True)
+            check(f"gramian_cg {tag} {shape} mosaic-vs-interp", got, interp,
+                  1e-5, 1e-5)
+            check(f"gramian_cg {tag} {shape} vs-composed", got,
+                  composed_cg(Yu, dat, x0, YtY, 3), *lo)
+
+    print(f"\n{len(FAILURES)} failures", flush=True)
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()

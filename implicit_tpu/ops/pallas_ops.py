@@ -43,9 +43,13 @@ def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *,
         # coeff alone can't stop NaN garbage: 0 * NaN propagates)
         lane = li * BL + jax.lax.broadcasted_iota(jnp.int32, (1, BL, 1), 1)
         yu = jnp.where(lane < L, yu, jnp.zeros((), yu.dtype))
-    v = v_ref[:].astype(yu.dtype)  # (BC, F)
+    # expand (BC, F) -> (BC, 1, F) while still f32, cast AFTER: Mosaic
+    # rejects the bf16 shape cast at sub-128 lane widths (the on-TPU
+    # kernel oracle caught vector<8x64xbf16> -> vector<8x1x64xbf16>
+    # failing infer-vector-layout at F=64)
+    v = v_ref[:][:, None, :].astype(yu.dtype)  # (BC, 1, F)
     # t[c, l] = Yu[c, l, :] . v[c, :]
-    t = jnp.sum(yu * v[:, None, :], axis=2, dtype=jnp.float32)
+    t = jnp.sum(yu * v, axis=2, dtype=jnp.float32)
     coeff = alpha * bv_ref[:] + beta * (w_ref[:] * t)  # (BC, BL) f32
     if L % BL:
         lane2 = li * BL + jax.lax.broadcasted_iota(jnp.int32, coeff.shape, 1)
