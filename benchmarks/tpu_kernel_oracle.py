@@ -90,9 +90,16 @@ def main():
 
     # CG kernels: two oracles per case. (1) real Mosaic vs the Pallas
     # INTERPRETER on identical inputs — the exact-formulation lowering
-    # check, tight tolerance (measured 5e-7 when healthy); (2) vs the
+    # check; tight for f32 (measured 5e-7), loose for bf16 tables in the
+    # tile-CG kernel (Mosaic multiplies in bf16 VREGs with f32 accumulation
+    # while the interpreter upcasts first — one extra rounding, measured
+    # ~2e-3; the gramian kernel builds its normal matrix in f32 and stays
+    # tight even with bf16 tables — measured, kept at 1e-5); (2) vs the
     # composed einsum formulation — loose, bounds CG reduction-order noise
     # (measured up to ~4e-3 f32 on ill-conditioned tiny rows).
+    def interp_tol(tag):
+        return (1e-5, 1e-5) if tag == "f32" else (1e-2, 1e-2)
+
     for shape in [(16, 64, 128), (16, 96, 256), (8, 24, 64)]:
         for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
                             (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
@@ -100,7 +107,7 @@ def main():
             got = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=False)
             interp = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=True)
             check(f"cg_full {tag} {shape} mosaic-vs-interp", got, interp,
-                  1e-5, 1e-5)
+                  *interp_tol(tag))
             check(f"cg_full {tag} {shape} vs-composed", got,
                   composed_cg(Yu, dat, x0, YtY, 3), *lo)
 
