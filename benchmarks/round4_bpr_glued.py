@@ -163,6 +163,52 @@ def main():
 
         return run
 
+    # split layout + packed flats + 8-lane bias tile: bias lives in col 0
+    # of an (items, 8) tile so the 4 bias ops become 32B-row ops (the
+    # engine is per-index bound: a 4B indexed op measured ~2x a row op)
+    def make_split_packed_bias8():
+        ymask = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(1.0)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run(X, Y, yb8, k):
+            def step(carry, subkey):
+                X, Y, yb8, correct, skipped = carry
+                k1, k2 = jax.random.split(subkey)
+                li = jax.random.randint(k1, (BATCH,), 0, nnz)
+                di = jax.random.randint(k2, (BATCH,), 0, nnz)
+                pl_ = pairs[li]
+                u, liked = pl_[:, 0], pl_[:, 1]
+                disliked = pairs[di][:, 1]
+                skip = membership._member(table, u, disliked, *mh, jnp)
+                xu = X[u]
+                yl = Y[liked]
+                yd = Y[disliked]
+                bl8 = yb8[liked]
+                bd8 = yb8[disliked]
+                bl = bl8[:, 0]
+                bd = bd8[:, 0]
+                score = jnp.sum(xu * (yl - yd), axis=1) + bl - bd
+                z = 1.0 / (1.0 + jnp.exp(score))
+                keep = ~skip
+                correct = correct + jnp.sum((z < 0.5) & keep)
+                skipped = skipped + jnp.sum(skip)
+                scale = jnp.where(keep, lr, 0.0)
+                X = X.at[u].add(scale[:, None] * (z[:, None] * (yl - yd) - reg * xu))
+                Y = Y.at[liked].add(scale[:, None] * (z[:, None] * xu - reg * yl))
+                Y = Y.at[disliked].add(scale[:, None] * (-z[:, None] * xu - reg * yd))
+                yb8 = yb8.at[liked].add(
+                    (scale * (z - reg * bl))[:, None] * ymask)
+                yb8 = yb8.at[disliked].add(
+                    (scale * (-z - reg * bd))[:, None] * ymask)
+                return (X, Y, yb8, correct, skipped), None
+
+            subkeys = jax.random.split(k, STEPS)
+            (X, Y, yb8, c, s), _ = jax.lax.scan(
+                step, (X, Y, yb8, jnp.int32(0), jnp.int32(0)), subkeys)
+            return X, Y, yb8, c, s
+
+        return run
+
     # sync rule: block_until_ready lies over this transport — force
     # completion by pulling a scalar derived from the final carry
     def timed(fn, reps=3):
@@ -205,6 +251,26 @@ def main():
     t = timed(go_sp)
     print(f"split+packed        {t:7.3f} s  ({base / t:.2f}x vs shipped) "
           f"correct={go_sp.stats[0]} skipped={go_sp.stats[1]}", flush=True)
+
+    spb = make_split_packed_bias8()
+    yb8_0 = np.zeros((ITEMS, 8), dtype=np.float32)
+    yb8_0[:, 0] = np.asarray(ybb)
+    yb8_b = jnp.asarray(yb8_0)
+    jax.block_until_ready(yb8_b)
+
+    def go_spb():
+        X, Y, yb8 = Xs + 0.0, Ys + 0.0, yb8_b + 0.0
+        jax.block_until_ready((X, Y, yb8))
+        t0 = time.time()
+        out = spb(X, Y, yb8, key)
+        c, s = int(out[3]), int(out[4])
+        dt = time.time() - t0
+        go_spb.stats = (c, s)
+        return dt
+
+    t = timed(go_spb)
+    print(f"split+packed+bias8  {t:7.3f} s  ({base / t:.2f}x vs shipped) "
+          f"correct={go_spb.stats[0]} skipped={go_spb.stats[1]}", flush=True)
 
     for packed in (False, True):
         run = make_glued(packed)
