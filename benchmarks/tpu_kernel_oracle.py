@@ -10,10 +10,16 @@ kernel or toolchain change:
     PYTHONPATH=. python benchmarks/tpu_kernel_oracle.py
 
 Exit code 0 = every case within tolerance. Shapes mirror the CI matrix
-plus the wide-factor and long-row regression shapes.
+plus the wide-factor and long-row regression shapes. Mosaic kernel
+compiles bypass the jax persistent cache on the axon transport, so a full
+run pays one remote compile per case — set ORACLE_QUICK=1 for a reduced
+matrix (one shape per kernel/dtype) when the compile service is slow.
 """
 
+import os
 import sys
+
+QUICK = bool(int(os.environ.get("ORACLE_QUICK", "0")))
 
 import jax
 import jax.numpy as jnp
@@ -70,8 +76,9 @@ def main():
         sys.exit(2)
 
     # weighted matvec: f32 and bf16 tables, both (alpha, beta) modes
-    for C, L, F in [(64, 8, 128), (128, 96, 128), (16, 256, 128),
-                    (32, 64, 256), (8, 24, 64)]:
+    wm_cases = [(64, 8, 128), (128, 96, 128), (16, 256, 128),
+                (32, 64, 256), (8, 24, 64)]
+    for C, L, F in (wm_cases[:1] + wm_cases[-1:] if QUICK else wm_cases):
         rng = np.random.default_rng(C + L)
         Yu = jnp.asarray(rng.standard_normal((C, L, F), dtype=np.float32))
         w = jnp.asarray(rng.random((C, L), dtype=np.float32))
@@ -100,7 +107,8 @@ def main():
     def interp_tol(tag):
         return (1e-5, 1e-5) if tag == "f32" else (1e-2, 1e-2)
 
-    for shape in [(16, 64, 128), (16, 96, 256), (8, 24, 64)]:
+    cg_cases = [(16, 64, 128), (16, 96, 256), (8, 24, 64)]
+    for shape in (cg_cases[:1] if QUICK else cg_cases):
         for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
                             (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
             Yu, dat, x0, YtY = cg_case(*shape, seed=shape[1], table_dtype=dt)
@@ -112,7 +120,8 @@ def main():
                   composed_cg(Yu, dat, x0, YtY, 3), *lo)
 
     # gramian-build CG (long rows), incl. the scoped-VMEM regression shapes
-    for shape in [(16, 1536, 128), (16, 768, 256), (8, 2048, 64)]:
+    gr_cases = [(16, 1536, 128), (16, 768, 256), (8, 2048, 64)]
+    for shape in (gr_cases[:1] if QUICK else gr_cases):
         for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
                             (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
             Yu, dat, x0, YtY = cg_case(*shape, seed=shape[2], table_dtype=dt)
