@@ -32,27 +32,105 @@ from .utils import check_csr
 _EASE_MAX_ITEMS = 32_000
 
 
-def ease_weights(user_items, regularization=250.0):
+def _ease_max_items(n_shards=1):
+    """Catalog cap: single-device holds 3 (items²) buffers; a mesh chip
+    holds the replicated gramian + factorization plus 1/D-sized column and
+    row blocks, ~(2 + 3/D) items² — a modest √(3/(2+3/D)) cap raise (the
+    mesh's real win is dividing the O(items³) inverse flops by D)."""
+    if n_shards <= 1:
+        return _EASE_MAX_ITEMS
+    return int(_EASE_MAX_ITEMS * np.sqrt(3.0 / (2.0 + 3.0 / n_shards)))
+
+
+def _ease_B_meshed(user_items, regularization, mesh, serve_diag=False):
+    """Sharded closed-form EASE solve: each chip back-solves its own columns.
+
+    The gramian arrives row-sharded from
+    :func:`~implicit_tpu.nearest_neighbours._dense_gramian_meshed` (its
+    build flops already divided by the mesh size). Each chip then
+    all-gathers ``S`` once (items² bytes over ICI), Cholesky-factorizes the
+    regularized matrix redundantly (O(items³/3) — small next to the
+    inverse), and back-solves only its own block of identity columns, so
+    the O(items³) inverse divides by the mesh size. ``P``'s symmetry turns
+    the chip's column block of ``P`` into its row block of ``B``, which
+    stays row-sharded for top-K sparsification; the only other collective
+    is an all-gather of diag(P) (items floats).
+
+    Returns the (D·block, items) row-sharded ``B`` (rows ≥ items are
+    padding). With ``serve_diag`` the diagonal is set to the serving
+    self-affinity (strictly above the row max) instead of the EASE zero.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .nearest_neighbours import _dense_gramian_meshed
+
+    items = user_items.shape[1]
+    axis = mesh.axis_names[0]
+
+    S, block = _dense_gramian_meshed(user_items, mesh)
+
+    def solve(S_loc, lam):
+        S_full = jax.lax.all_gather(S_loc, axis, tiled=True)[:items]
+        A = S_full + lam * jnp.eye(items, dtype=jnp.float32)
+        c, low = jax.scipy.linalg.cho_factor(A)
+        j = jax.lax.axis_index(axis) * block + jnp.arange(block)
+        jc = jnp.minimum(j, items - 1)  # clamp padding rows (dropped later)
+        eye_blk = (jnp.arange(items)[:, None] == j[None, :]).astype(jnp.float32)
+        P_cols = jax.scipy.linalg.cho_solve((c, low), eye_blk)  # (items, block)
+        arange_blk = jnp.arange(block)
+        diag_loc = jnp.where(j < items, P_cols[jc, arange_blk], 1.0)
+        diag = jax.lax.all_gather(diag_loc, axis, tiled=True)[:items]
+        # P is symmetric (inverse of SPD): the chip's P columns ARE its B rows
+        B_loc = -P_cols.T / diag[None, :]
+        B_loc = B_loc.at[arange_blk, jc].set(0.0)
+        if serve_diag:
+            # serving parity with the KNN family (see EASERecommender.fit)
+            B_loc = B_loc.at[arange_blk, jc].set(
+                jnp.maximum(jnp.max(B_loc, axis=1), 0.0) + 1.0
+            )
+        return B_loc
+
+    run = jax.jit(
+        shard_map(
+            solve, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+    return run(S, jnp.float32(regularization))
+
+
+def ease_weights(user_items, regularization=250.0, mesh=None):
     """Returns the dense EASE weight matrix ``B`` as a device array.
 
     ``B[j, v]`` is liked-item ``j``'s contribution to candidate ``v``'s
     score; rows of ``B`` are the item-item "similarity" in the serving
     formulation ``scores = user_likes @ B``. ``diag(B)`` is zero (the EASE
-    constraint).
+    constraint). ``mesh`` (a jax Mesh or device count) runs the gramian
+    build and the O(items³) inverse sharded over the chips.
     """
     import jax
     import jax.numpy as jnp
 
-    from .nearest_neighbours import _dense_gramian_device
+    from .nearest_neighbours import _dense_gramian_device, _resolve_mesh
 
     user_items = check_csr(user_items)
     items = user_items.shape[1]
-    if items > _EASE_MAX_ITEMS:
+    mesh = _resolve_mesh(mesh)
+    cap = _ease_max_items(mesh.size if mesh is not None else 1)
+    if items > cap:
         raise ValueError(
             f"EASE inverts a dense {items}^2 matrix on device; catalogs over "
-            f"{_EASE_MAX_ITEMS} items don't fit one chip's HBM. Restrict the "
-            "catalog (items with interactions) or use the KNN/ALS families."
+            f"{cap} items don't fit {'the mesh chips' if mesh is not None else 'one chip'}'s "
+            "HBM. Restrict the catalog (items with interactions) or use the "
+            "KNN/ALS families."
         )
+
+    if mesh is not None:
+        return _ease_B_meshed(user_items, regularization, mesh)[:items]
 
     S = _dense_gramian_device(user_items)
 
@@ -86,10 +164,16 @@ class EASERecommender(ItemItemRecommender):
         False to use the matrix values (e.g. bm25-weighted) as-is.
     num_threads : int, optional
         API parity; ignored.
+    mesh : jax.sharding.Mesh or int, optional
+        Fit multi-chip: the gramian build and the O(items³) inverse shard
+        over the mesh (each chip back-solves its own identity columns),
+        dividing the dominant flops by the mesh size.
     """
 
-    def __init__(self, K=100, regularization=250.0, binarize=True, num_threads=0):
-        super().__init__(K=K, num_threads=num_threads)
+    def __init__(
+        self, K=100, regularization=250.0, binarize=True, num_threads=0, mesh=None
+    ):
+        super().__init__(K=K, num_threads=num_threads, mesh=mesh)
         self.regularization = regularization
         self.binarize = binarize
 
@@ -106,8 +190,34 @@ class EASERecommender(ItemItemRecommender):
             user_items = user_items.copy()
             user_items.data = np.ones_like(user_items.data)
 
-        B = ease_weights(user_items, self.regularization)
         items = user_items.shape[1]
+
+        from .nearest_neighbours import (
+            _dense_topk_to_coo,
+            _dense_topk_to_coo_meshed,
+            _resolve_mesh,
+        )
+
+        mesh = _resolve_mesh(self.mesh)
+        if mesh is not None:
+            if items > _ease_max_items(mesh.size):
+                raise ValueError(
+                    f"EASE inverts a dense {items}^2 matrix on device; "
+                    f"catalogs over {_ease_max_items(mesh.size)} items don't "
+                    "fit the mesh chips' HBM. Restrict the catalog or use "
+                    "the KNN/ALS families."
+                )
+            # diagonal handling (serve_diag) and top-K both run inside the
+            # row shards; negatives are meaningful in EASE, keep them all
+            B = _ease_B_meshed(user_items, self.regularization, mesh,
+                               serve_diag=True)
+            self.similarity = sp.csr_matrix(
+                _dense_topk_to_coo_meshed(B, items, int(self.K), mesh,
+                                          keep="nonzero"))
+            self.scorer = NearestNeighboursScorer(self.similarity)
+            return
+
+        B = ease_weights(user_items, self.regularization)
 
         # serving parity with the KNN family: the stored similarity's
         # diagonal is the item's self-affinity (strictly above its row max,
@@ -116,8 +226,6 @@ class EASERecommender(ItemItemRecommender):
         # the EASE objective's diag(B)=0 is untouched for everything else.
         idx = jnp.arange(items)
         B = B.at[idx, idx].set(jnp.maximum(jnp.max(B, axis=1), 0.0) + 1.0)
-
-        from .nearest_neighbours import _dense_topk_to_coo
 
         # negatives are meaningful in EASE: keep everything the top-K selects
         self.similarity = sp.csr_matrix(

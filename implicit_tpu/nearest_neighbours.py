@@ -7,11 +7,12 @@ inner product AᵀA; serving scores a user's liked-items row against the stored
 similarity matrix.
 
 The reference streams one sparse AᵀA row per OpenMP thread with a SMMP
-accumulator. Here the similarity build runs as blocked sparse matmuls
-(scipy's C spgemm over row blocks, memory-bounded by block sizing) with the
-native per-row top-K selector from :mod:`implicit_tpu.native`. Like the
-reference — which has no CUDA path for this model family — this fit is
-host-side.
+accumulator (and has no CUDA path for this family at all). Here the
+similarity build dispatches by estimated cost between a fused native host
+kernel (single-pass SMMP + top-K, OpenMP) and an accelerator path (dense
+MXU gramian from one COO upload + device top-K) — the latter optionally
+row-sharded over a device mesh (``mesh=``), which divides the flops and
+per-chip HBM by the mesh size.
 """
 
 import numpy as np
@@ -65,7 +66,18 @@ def bm25_weight(X, K1=100, B=0.8):
 # similarity construction + scoring
 # ---------------------------------------------------------------------------
 
-def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="auto"):
+def _resolve_mesh(mesh):
+    """``mesh=`` ctor/kwarg convention: an int builds a local 1-D mesh."""
+    if mesh is None or not isinstance(mesh, int):
+        return mesh
+    from .parallel import create_mesh
+
+    return create_mesh(mesh)
+
+
+def all_pairs_knn(
+    user_items, K=100, show_progress=True, num_threads=0, method="auto", mesh=None
+):
     """Returns the top K nearest neighbours for every item.
 
     ``user_items`` is the (weighted) users×items matrix; similarity is the
@@ -79,16 +91,24 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="
     users — measured 1.6x the host at MovieLens-20M shape, growing with
     density since the host's pair-expansion work scales with squared user
     degree). "auto" picks by estimated cost.
+
+    ``mesh`` (a jax Mesh or a device count) runs the device method
+    multi-chip: the gramian's rows shard over the mesh, dividing both the
+    MXU flops and the per-chip HBM footprint by the mesh size — the item
+    cap rises by √D. The host method ignores it.
     """
     user_items = check_csr(user_items)
+    mesh = _resolve_mesh(mesh)
+    n_shards = mesh.size if mesh is not None else 1
+    item_cap = int(_DEVICE_KNN_MAX_ITEMS * np.sqrt(n_shards))
     if method == "auto":
-        method = "device" if _device_knn_wins(user_items) else "host"
+        method = "device" if _device_knn_wins(user_items, n_shards) else "host"
     if method == "device":
-        if user_items.shape[1] > _DEVICE_KNN_MAX_ITEMS:
+        if user_items.shape[1] > item_cap:
             raise ValueError(
                 f"method='device' holds a dense {user_items.shape[1]}^2 "
                 f"similarity gramian in HBM; catalogs over "
-                f"{_DEVICE_KNN_MAX_ITEMS} items must use method='host' "
+                f"{item_cap} items must use method='host' "
                 "(the output-sparsity-aware spgemm, which is also faster "
                 "there: its cost scales with co-occurring pairs, not "
                 "items^2 x users)"
@@ -104,7 +124,7 @@ def all_pairs_knn(user_items, K=100, show_progress=True, num_threads=0, method="
                 "gramian cannot distinguish no-co-occurrence from similarity "
                 "0); matrices with negative weights must use method='host'"
             )
-        return _all_pairs_knn_device(user_items, K)
+        return _all_pairs_knn_device(user_items, K, mesh=mesh)
     return _all_pairs_knn_host(user_items, K, num_threads)
 
 
@@ -156,21 +176,22 @@ _DEVICE_KNN_MAX_ITEMS = 36_000
 _DEVICE_KNN_DENSE_BYTES = 1 << 29  # densified-chunk budget (tests shrink it)
 
 
-def _device_knn_wins(csr):
+def _device_knn_wins(csr, n_shards=1):
     """Estimated-cost dispatch between the host spgemm and the MXU gramian.
 
     Host cost ∝ Σ d_u² (the pair-expansion work of the SMMP-style
     accumulator, ~40M pairs/s single-core); device cost ∝ I²·U MXU flops
-    plus the one-time COO upload through the transport. Exact zero/negative
-    similarity ties are only representable on the host path (the dense
-    gramian cannot distinguish "no co-occurrence" from "similarity 0").
+    plus the one-time COO upload through the transport. A mesh divides the
+    on-device terms by its size. Exact zero/negative similarity ties are
+    only representable on the host path (the dense gramian cannot
+    distinguish "no co-occurrence" from "similarity 0").
     """
     from .tpu import HAS_TPU
 
     if not HAS_TPU:
         return False
     users, items = csr.shape
-    if items > _DEVICE_KNN_MAX_ITEMS or items < 2 or csr.nnz == 0:
+    if items > _DEVICE_KNN_MAX_ITEMS * np.sqrt(n_shards) or items < 2 or csr.nnz == 0:
         return False
     if csr.nnz >= 1 << 31:  # device path slices the COO with int32 offsets
         return False
@@ -179,10 +200,10 @@ def _device_knn_wins(csr):
     degrees = np.diff(csr.indptr).astype(np.float64)
     host_s = float(degrees @ degrees) / 40e6  # measured scipy spgemm pair rate
     device_s = (
-        float(items) ** 2 * users * 2 / 20e12  # 3-pass f32 MXU gramian (measured)
+        float(items) ** 2 * users * 2 / (20e12 * n_shards)  # 3-pass f32 MXU gramian
         + csr.nnz * 1.2e-8  # device scatter densification
         + csr.nnz * 12 / 40e6  # one whole-matrix COO upload (12B/entry)
-        + float(items) ** 2 / 15e9  # device top-k sweep (fetches pipelined)
+        + float(items) ** 2 / (15e9 * n_shards)  # device top-k sweep (pipelined)
     )
     # small problems stay on the host: a first-time device fit also pays a
     # one-off XLA compile (tens of seconds) that only large fits amortize
@@ -253,6 +274,122 @@ def _dense_gramian_device(user_items):
     return S
 
 
+def _dense_gramian_meshed(user_items, mesh):
+    """Row-sharded dense item gramian ``AᵀA`` over a device mesh.
+
+    Chip ``c`` owns the contiguous row block ``[c·B, (c+1)·B)`` of ``S``:
+    per user chunk every chip densifies the same (chunk, items) slab from
+    one replicated COO upload (a cheap scatter) and contracts only its own
+    row block on the MXU — the O(items²·users) flops divide by the mesh
+    size and the per-chip ``S`` footprint drops to items²/D, which is what
+    raises the device catalog cap by √D. No collective runs at all: the
+    result stays row-sharded (every chip holds all columns of its rows) for
+    the per-row top-K sparsification. The reference has no multi-device
+    path for this family at all (its KNN fit is CPU-only,
+    /root/reference/implicit/_nearest_neighbours.pyx:113-171).
+
+    Returns ``(S, block)`` where ``S`` is the (D·block, items) sharded
+    array, rows ≥ ``items`` zero padding.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    csr = user_items.tocsr()
+    users, items = csr.shape
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    block = max(1, -(-items // D))
+    items_pad = D * block
+    chunk = max(8, min(users, _DEVICE_KNN_DENSE_BYTES // max(items, 1)))
+
+    indptr = csr.indptr
+    starts = list(range(0, users, chunk))
+    cap = max(
+        int(indptr[min(s + chunk, users)] - indptr[s]) for s in starts
+    ) if starts else 1
+    cap = max(cap, 1)
+    rep = NamedSharding(mesh, P())
+    uids = np.repeat(np.arange(users, dtype=np.int32), np.diff(indptr))
+    d_uids = jax.device_put(
+        np.concatenate([uids, np.full(cap, users, np.int32)]), rep)
+    d_cols = jax.device_put(
+        np.concatenate([csr.indices.astype(np.int32), np.zeros(cap, np.int32)]), rep)
+    d_vals = jax.device_put(
+        np.concatenate([csr.data.astype(np.float32), np.zeros(cap, np.float32)]), rep)
+
+    def acc(S_loc, uids, cols, vals, lo, start):
+        u = jax.lax.dynamic_slice(uids, (lo,), (cap,))
+        c = jax.lax.dynamic_slice(cols, (lo,), (cap,))
+        v = jax.lax.dynamic_slice(vals, (lo,), (cap,))
+        local = u - start  # >= chunk for entries past this chunk -> dropped
+        # the column axis pads to items_pad so the row-block slice below
+        # never clamps (dynamic_slice clamps out-of-range starts, which
+        # would silently shift the last shard's rows)
+        dense = jnp.zeros((chunk, items_pad), jnp.float32).at[local, c].add(
+            v, mode="drop"
+        )
+        r0 = jax.lax.axis_index(axis) * block
+        rows = jax.lax.dynamic_slice(dense, (0, r0), (chunk, block))
+        return S_loc + jax.lax.dot_general(
+            rows, dense[:, :items], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )
+
+    step = jax.jit(
+        shard_map(
+            acc, mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+
+    S = jnp.zeros(
+        (items_pad, items), jnp.float32, device=NamedSharding(mesh, P(axis, None))
+    )
+    for start in starts:
+        S = step(S, d_uids, d_cols, d_vals, jnp.int32(indptr[start]),
+                 jnp.int32(start))
+    return S, block
+
+
+def _dense_topk_to_coo_meshed(S, items, K, mesh, keep="positive"):
+    """K-sparsifies a row-sharded (D·block, items) device matrix into COO.
+
+    Each chip runs ``lax.top_k`` over its own row block — columns are global
+    on every chip, so no collective is needed; padding rows (≥ ``items``)
+    drop on the host after one fetch. ``keep`` as in _dense_topk_to_coo.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    k = min(K, items)
+
+    tk = jax.jit(
+        shard_map(
+            lambda Sb: tuple(jax.lax.top_k(Sb, k)), mesh=mesh,
+            in_specs=P(axis, None), out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+    vals, cols = tk(S)
+    vals = np.asarray(vals, dtype=np.float64)[:items]
+    cols = np.asarray(cols)[:items]
+    r, c = np.nonzero(vals > 0 if keep == "positive" else vals != 0)
+    return sp.coo_matrix(
+        (vals[r, c], (r.astype(np.int32), cols[r, c].astype(np.int32))),
+        shape=(items, items),
+    )
+
+
 def _dense_topk_to_coo(S, K, keep="positive"):
     """K-sparsifies a dense device (items x items) matrix into COO triples.
 
@@ -292,14 +429,19 @@ def _dense_topk_to_coo(S, K, keep="positive"):
     return sp.coo_matrix((vals, (rows, cols)), shape=(items, items))
 
 
-def _all_pairs_knn_device(user_items, K):
+def _all_pairs_knn_device(user_items, K, mesh=None):
     """Exact AᵀA top-K on the accelerator: MXU gramian over densified chunks.
 
-    The gramian comes from :func:`_dense_gramian_device`; sparsification
-    from :func:`_dense_topk_to_coo`. Replaces the host path's
-    pair-expansion with dense flops — the win condition is decided by
+    The gramian comes from :func:`_dense_gramian_device` (or its mesh-
+    sharded twin when ``mesh`` is given); sparsification from
+    :func:`_dense_topk_to_coo`. Replaces the host path's pair-expansion
+    with dense flops — the win condition is decided by
     :func:`_device_knn_wins`.
     """
+    if mesh is not None:
+        S, _ = _dense_gramian_meshed(user_items, mesh)
+        return _dense_topk_to_coo_meshed(S, user_items.shape[1], K, mesh,
+                                         keep="positive")
     return _dense_topk_to_coo(_dense_gramian_device(user_items), K,
                               keep="positive")
 
@@ -389,13 +531,19 @@ class ItemItemRecommender(RecommenderBase):
     K : int, optional
         Neighbours stored per item in the similarity matrix
     num_threads : int, optional
-        API parity; ignored
+        Threads for the native host similarity build (0 = all cores)
+    mesh : jax.sharding.Mesh or int, optional
+        Fit multi-chip: the device similarity build row-shards the dense
+        gramian over the mesh, dividing the MXU flops and per-chip HBM by
+        the mesh size (item cap rises by √D). Only affects fits that the
+        cost model (or ``method='device'``) routes to the accelerator.
     """
 
-    def __init__(self, K=20, num_threads=0):
+    def __init__(self, K=20, num_threads=0, mesh=None):
         self.similarity = None
         self.K = K
         self.num_threads = num_threads
+        self.mesh = mesh
         self.scorer = None
 
     def _weighted(self, counts):
@@ -414,7 +562,8 @@ class ItemItemRecommender(RecommenderBase):
         counts = check_csr(counts)
         weighted = sp.csr_matrix(self._weighted(counts))
         self.similarity = all_pairs_knn(
-            weighted, self.K, show_progress=show_progress, num_threads=self.num_threads
+            weighted, self.K, show_progress=show_progress,
+            num_threads=self.num_threads, mesh=self.mesh,
         ).tocsr()
         self.scorer = NearestNeighboursScorer(self.similarity)
 
@@ -554,10 +703,16 @@ class ItemItemRecommender(RecommenderBase):
     def __getstate__(self):
         state = self.__dict__.copy()
         del state["scorer"]  # holds no state beyond the similarity matrix
+        # a live Mesh isn't picklable: degrade to its device count (restores
+        # as an equivalent local 1-D mesh) — same contract as the MF models
+        mesh = state.get("mesh")
+        if mesh is not None and not isinstance(mesh, int):
+            state["mesh"] = int(np.prod(list(mesh.shape.values())))
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault("mesh", None)  # pickles from older versions
         self.scorer = (
             NearestNeighboursScorer(self.similarity) if self.similarity is not None else None
         )
@@ -623,8 +778,8 @@ class TFIDFRecommender(ItemItemRecommender):
 class BM25Recommender(ItemItemRecommender):
     """An Item-Item Recommender on BM25 distance between items."""
 
-    def __init__(self, K=20, K1=1.2, B=0.75, num_threads=0):
-        super().__init__(K, num_threads)
+    def __init__(self, K=20, K1=1.2, B=0.75, num_threads=0, mesh=None):
+        super().__init__(K, num_threads, mesh=mesh)
         self.K1 = K1
         self.B = B
 

@@ -579,3 +579,102 @@ def test_meshed_model_streams_beyond_pooled_budget(monkeypatch):
     m2_ids, _ = meshed2.recommend(userids, likes[userids], N=8)
     np.testing.assert_array_equal(r_ids, m2_ids)
     assert any(k[0] == "item" for k in meshed2._mesh_serving_cache)
+
+
+# ---------------------------------------------------------------------------
+# meshed KNN / EASE fit
+# ---------------------------------------------------------------------------
+
+
+def test_dense_gramian_meshed_matches_dense():
+    from implicit_tpu.nearest_neighbours import _dense_gramian_meshed
+
+    mesh = create_mesh(8)
+    # items=17 is indivisible by 8: exercises the row padding
+    mat = _random_csr(users=40, items=17, seed=3)
+    S, block = _dense_gramian_meshed(mat, mesh)
+    assert block == 3 and S.shape == (24, 17)
+    got = np.asarray(S)
+    np.testing.assert_allclose(got[:17], (mat.T @ mat).toarray(), rtol=1e-5, atol=1e-5)
+    assert not got[17:].any()  # padding rows stay zero
+
+
+def test_all_pairs_knn_device_meshed_matches_host():
+    from implicit_tpu.nearest_neighbours import all_pairs_knn
+
+    mesh = create_mesh(8)
+    mat = _random_csr(users=60, items=23, seed=4)
+    host = all_pairs_knn(mat, 5, method="host").tocsr()
+    dev = all_pairs_knn(mat, 5, method="device", mesh=mesh).tocsr()
+    assert host.shape == dev.shape
+    for row in range(23):
+        h = dict(zip(host[row].indices, host[row].data))
+        for col, val in zip(dev[row].indices, dev[row].data):
+            # ties at the K boundary may pick different columns; values of
+            # shared columns must agree (same check as the single-device test)
+            if col in h:
+                np.testing.assert_allclose(val, h[col], rtol=1e-4, atol=1e-5)
+        # row top-1 is unambiguous: must match exactly
+        if h:
+            assert dev[row].indices[np.argmax(dev[row].data)] == max(h, key=h.get)
+
+
+def test_knn_model_fit_on_mesh_matches_single_device():
+    # distinct random values (no ties): host-fit and meshed-device-fit
+    # models must serve identical top-1 recommendations
+    import implicit_tpu.nearest_neighbours as nn
+
+    likes = _random_csr(users=50, items=21, seed=6)
+    single = nn.CosineRecommender(K=10)
+    single.fit(likes)
+
+    meshed = nn.CosineRecommender(K=10, mesh=create_mesh(8))
+    # force the device path (the cost model keeps tiny fits on the host)
+    weighted = nn.normalize(likes.T).T.tocsr()
+    weighted.data = np.abs(weighted.data)
+    meshed.similarity = nn.all_pairs_knn(
+        weighted, 10, method="device", mesh=meshed.mesh
+    ).tocsr()
+    meshed.scorer = nn.NearestNeighboursScorer(meshed.similarity)
+
+    ids_s, _ = single.recommend(np.arange(50), likes, N=3)
+    ids_m, _ = meshed.recommend(np.arange(50), likes, N=3)
+    np.testing.assert_array_equal(ids_s[:, 0], ids_m[:, 0])
+
+
+def test_ease_weights_meshed_matches_single_device():
+    from implicit_tpu.ease import ease_weights
+
+    mesh = create_mesh(8)
+    mat = _random_csr(users=50, items=19, seed=5)
+    B1 = np.asarray(ease_weights(mat, 5.0))
+    Bm = np.asarray(ease_weights(mat, 5.0, mesh=mesh))
+    assert Bm.shape == B1.shape  # public fn trims the row padding
+    np.testing.assert_allclose(Bm, B1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.diag(Bm), 0.0, atol=0)
+
+
+def test_ease_fit_on_mesh_matches_single_device():
+    from implicit_tpu.ease import EASERecommender
+
+    # binarize=False keeps the distinct random values: no exact B ties, so
+    # the top-K selections are deterministic across both layouts
+    likes = _random_csr(users=50, items=19, seed=7)
+    single = EASERecommender(K=8, regularization=1.0, binarize=False)
+    single.fit(likes)
+    meshed = EASERecommender(K=8, regularization=1.0, binarize=False, mesh=8)
+    meshed.fit(likes)
+
+    np.testing.assert_allclose(
+        meshed.similarity.toarray(), single.similarity.toarray(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # serving parity end-to-end + pickle degrades the live mesh to an int
+    import pickle
+
+    ids_s, _ = single.recommend(np.arange(50), likes, N=5)
+    ids_m, _ = meshed.recommend(np.arange(50), likes, N=5)
+    np.testing.assert_array_equal(ids_s[:, 0], ids_m[:, 0])
+    restored = pickle.loads(pickle.dumps(meshed))
+    assert restored.mesh == 8
