@@ -122,11 +122,11 @@ def ease_weights(user_items, regularization=250.0, mesh=None):
     mesh = _resolve_mesh(mesh)
     cap = _ease_max_items(mesh.size if mesh is not None else 1)
     if items > cap:
+        where = "the mesh chips'" if mesh is not None else "one chip's"
         raise ValueError(
             f"EASE inverts a dense {items}^2 matrix on device; catalogs over "
-            f"{cap} items don't fit {'the mesh chips' if mesh is not None else 'one chip'}'s "
-            "HBM. Restrict the catalog (items with interactions) or use the "
-            "KNN/ALS families."
+            f"{cap} items don't fit {where} HBM. Restrict the catalog (items "
+            "with interactions) or use the KNN/ALS families."
         )
 
     if mesh is not None:

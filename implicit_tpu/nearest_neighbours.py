@@ -291,8 +291,6 @@ def _dense_gramian_meshed(user_items, mesh):
     Returns ``(S, block)`` where ``S`` is the (D·block, items) sharded
     array, rows ≥ ``items`` zero padding.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
     from jax import shard_map

@@ -678,3 +678,24 @@ def test_ease_fit_on_mesh_matches_single_device():
     np.testing.assert_array_equal(ids_s[:, 0], ids_m[:, 0])
     restored = pickle.loads(pickle.dumps(meshed))
     assert restored.mesh == 8
+
+
+def test_meshed_knn_ease_tiny_catalog_and_empty():
+    """Catalogs smaller than the mesh (padding-dominant) and nnz=0."""
+    from implicit_tpu.ease import ease_weights
+    from implicit_tpu.nearest_neighbours import all_pairs_knn
+    from scipy.sparse import csr_matrix
+
+    mesh = create_mesh(8)
+    mat = _random_csr(users=20, items=3, seed=8)  # 3 items on 8 devices
+    host = all_pairs_knn(mat, 2, method="host").toarray()
+    dev = all_pairs_knn(mat, 2, method="device", mesh=mesh).toarray()
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ease_weights(mat, 1.0, mesh=mesh)),
+        np.asarray(ease_weights(mat, 1.0)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    empty = csr_matrix((10, 5))
+    assert all_pairs_knn(empty, 3, method="device", mesh=mesh).nnz == 0
