@@ -19,7 +19,7 @@ from . import als, approximate_als, bpr, ease, lmf, nearest_neighbours
 # that working through the drop-in alias packages
 from . import cpu, gpu
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "als", "approximate_als", "bpr", "cpu", "ease", "gpu",
