@@ -32,14 +32,29 @@ from .utils import check_csr
 _EASE_MAX_ITEMS = 32_000
 
 
-def _ease_max_items(n_shards=1):
-    """Catalog cap: single-device holds 3 (items²) buffers; a mesh chip
-    holds the replicated gramian + factorization plus 1/D-sized column and
-    row blocks, ~(2 + 3/D) items² — a modest √(3/(2+3/D)) cap raise (the
-    mesh's real win is dividing the O(items³) inverse flops by D)."""
-    if n_shards <= 1:
+def _ease_max_items(n_shards=None):
+    """Catalog cap. The plain solve (``n_shards=None``) holds 3 (items²)
+    buffers; a mesh chip holds the replicated gramian + factorization plus
+    1/D-sized column and row blocks, ~(2 + 3/D) items² — a √(3/(2+3/D))
+    scaling that RAISES the cap for D ≥ 3 and LOWERS it for a 1-2 chip
+    mesh, whose per-chip footprint exceeds the plain solve's (the mesh's
+    real win is dividing the O(items³) inverse flops by D)."""
+    if n_shards is None:
         return _EASE_MAX_ITEMS
     return int(_EASE_MAX_ITEMS * np.sqrt(3.0 / (2.0 + 3.0 / n_shards)))
+
+
+def _check_ease_cap(items, mesh):
+    """Refuses catalogs whose dense solve can't fit HBM (one place: the
+    plain and meshed fit entry points must agree on the cap model)."""
+    cap = _ease_max_items(mesh.size if mesh is not None else None)
+    if items > cap:
+        where = "the mesh chips'" if mesh is not None else "one chip's"
+        raise ValueError(
+            f"EASE inverts a dense {items}^2 matrix on device; catalogs over "
+            f"{cap} items don't fit {where} HBM. Restrict the catalog (items "
+            "with interactions) or use the KNN/ALS families."
+        )
 
 
 def _ease_B_meshed(user_items, regularization, mesh, serve_diag=False):
@@ -120,14 +135,7 @@ def ease_weights(user_items, regularization=250.0, mesh=None):
     user_items = check_csr(user_items)
     items = user_items.shape[1]
     mesh = _resolve_mesh(mesh)
-    cap = _ease_max_items(mesh.size if mesh is not None else 1)
-    if items > cap:
-        where = "the mesh chips'" if mesh is not None else "one chip's"
-        raise ValueError(
-            f"EASE inverts a dense {items}^2 matrix on device; catalogs over "
-            f"{cap} items don't fit {where} HBM. Restrict the catalog (items "
-            "with interactions) or use the KNN/ALS families."
-        )
+    _check_ease_cap(items, mesh)
 
     if mesh is not None:
         return _ease_B_meshed(user_items, regularization, mesh)[:items]
@@ -200,13 +208,7 @@ class EASERecommender(ItemItemRecommender):
 
         mesh = _resolve_mesh(self.mesh)
         if mesh is not None:
-            if items > _ease_max_items(mesh.size):
-                raise ValueError(
-                    f"EASE inverts a dense {items}^2 matrix on device; "
-                    f"catalogs over {_ease_max_items(mesh.size)} items don't "
-                    "fit the mesh chips' HBM. Restrict the catalog or use "
-                    "the KNN/ALS families."
-                )
+            _check_ease_cap(items, mesh)
             # diagonal handling (serve_diag) and top-K both run inside the
             # row shards; negatives are meaningful in EASE, keep them all
             B = _ease_B_meshed(user_items, self.regularization, mesh,

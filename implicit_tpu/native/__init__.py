@@ -126,6 +126,9 @@ def pack_ragged(indptr, indices, data, row_sel, L, dtype=np.float32):
 
 def topk_rows(indptr, indices, data, K, row_offset=0):
     """Per-row top-K of a CSR block -> (rows, cols, vals) COO triples."""
+    if K <= 0:
+        empty = np.array([], dtype=np.int32)
+        return empty, empty.copy(), np.array([], dtype=np.float64)
     lib = get_lib()
     rows = len(indptr) - 1
     if lib is not None:
@@ -174,11 +177,25 @@ def knn_all_pairs(item_users, user_items, K, num_threads=0):
     a dense-accumulator SMMP (the sparse product is never materialized).
     Returns None when the native library is unavailable — callers fall back
     to the blocked scipy formulation.
+
+    Each worker thread owns a dense ``items``-sized accumulator (~12B/item
+    incl. the touched list), so with ``num_threads=0`` the thread count is
+    capped to keep total accumulator memory inside a fixed budget — the
+    fused kernel stays as memory-bounded as the blocked-scipy path it
+    replaced (one thread is always allowed: the dense accumulator IS the
+    algorithm).
     """
     lib = get_lib()
     if lib is None:
         return None
     items = item_users.shape[0]
+    if K <= 0:
+        empty32 = np.array([], dtype=np.int32)
+        return empty32, empty32.copy(), np.array([], dtype=np.float64)
+    if num_threads <= 0:
+        budget = int(os.environ.get("IMPLICIT_KNN_ACC_BUDGET", 2 << 30))
+        num_threads = min(os.cpu_count() or 1,
+                          max(1, budget // max(1, items * 12)))
     ip_iu = np.ascontiguousarray(item_users.indptr, dtype=np.int64)
     ix_iu = np.ascontiguousarray(item_users.indices, dtype=np.int32)
     dt_iu = np.ascontiguousarray(item_users.data, dtype=np.float64)

@@ -79,6 +79,7 @@ int64_t topk_rows(int64_t rows, int64_t K, const int64_t *indptr,
                   const int32_t *indices, const double *data,
                   int32_t row_offset, int32_t *out_rows, int32_t *out_cols,
                   double *out_vals) {
+  if (K <= 0) return 0;  // heap.front() below is UB on an empty heap
   int64_t written = 0;
   std::vector<std::pair<double, int32_t>> heap;
   heap.reserve(K + 1);
@@ -119,6 +120,10 @@ void knn_all_pairs(int64_t items, int64_t K, const int64_t *indptr_iu,
                    const int64_t *indptr_ui, const int32_t *idx_ui,
                    const double *dat_ui, int32_t num_threads,
                    int32_t *out_cols, double *out_vals, int32_t *out_cnt) {
+  if (K <= 0) {  // heap.front() below is UB on an empty heap
+    std::fill(out_cnt, out_cnt + items, 0);
+    return;
+  }
 #ifdef _OPENMP
   const int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
 #pragma omp parallel num_threads(nt)

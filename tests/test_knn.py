@@ -173,7 +173,6 @@ def test_native_knn_all_pairs_matches_scipy_oracle():
     """The fused SMMP kernel (native/packer.cpp:knn_all_pairs) must agree
     with the blocked-scipy formulation on random signed data at every K."""
     from implicit_tpu import native
-    from implicit_tpu.nearest_neighbours import _all_pairs_knn_host
 
     rng = np.random.default_rng(5)
     U, I, N = 200, 90, 1800
