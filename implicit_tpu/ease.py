@@ -44,6 +44,19 @@ def _ease_max_items(n_shards=None):
     return int(_EASE_MAX_ITEMS * np.sqrt(3.0 / (2.0 + 3.0 / n_shards)))
 
 
+def _resolve_ease_mesh(mesh):
+    """Resolves the ``mesh=`` kwarg and degrades a size-1 mesh to the plain
+    solve: one chip gains nothing from the sharded formulation but PAYS its
+    higher per-chip footprint (2 + 3/D items² buffers vs 3), which would
+    LOWER the catalog cap below the plain solve's."""
+    from .nearest_neighbours import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh)
+    if mesh is not None and mesh.size <= 1:
+        return None
+    return mesh
+
+
 def _check_ease_cap(items, mesh):
     """Refuses catalogs whose dense solve can't fit HBM (one place: the
     plain and meshed fit entry points must agree on the cap model)."""
@@ -108,13 +121,18 @@ def _ease_B_meshed(user_items, regularization, mesh, serve_diag=False):
             )
         return B_loc
 
-    run = jax.jit(
-        shard_map(
-            solve, mesh=mesh,
-            in_specs=(P(axis, None), P()), out_specs=P(axis, None),
-            check_vma=False,
-        )
-    )
+    from .nearest_neighbours import _MESHED_PROGRAMS
+
+    key = ("ease", mesh, block, items, serve_diag)
+    run = _MESHED_PROGRAMS.get(key)
+    if run is None:
+        run = _MESHED_PROGRAMS.setdefault(key, jax.jit(
+            shard_map(
+                solve, mesh=mesh,
+                in_specs=(P(axis, None), P()), out_specs=P(axis, None),
+                check_vma=False,
+            )
+        ))
     return run(S, jnp.float32(regularization))
 
 
@@ -130,11 +148,11 @@ def ease_weights(user_items, regularization=250.0, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    from .nearest_neighbours import _dense_gramian_device, _resolve_mesh
+    from .nearest_neighbours import _dense_gramian_device
 
     user_items = check_csr(user_items)
     items = user_items.shape[1]
-    mesh = _resolve_mesh(mesh)
+    mesh = _resolve_ease_mesh(mesh)
     _check_ease_cap(items, mesh)
 
     if mesh is not None:
@@ -203,10 +221,9 @@ class EASERecommender(ItemItemRecommender):
         from .nearest_neighbours import (
             _dense_topk_to_coo,
             _dense_topk_to_coo_meshed,
-            _resolve_mesh,
         )
 
-        mesh = _resolve_mesh(self.mesh)
+        mesh = _resolve_ease_mesh(self.mesh)
         if mesh is not None:
             _check_ease_cap(items, mesh)
             # diagonal handling (serve_diag) and top-K both run inside the

@@ -93,14 +93,16 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         cache makes the larger one-time compile free.
     ingest : {"auto", "host", "device"}, optional
         Interaction-upload route (sparse.pack_pair_on_device). "auto"
-        host-packs until the on-device pack programs are compile-warm for
-        this matrix structure — the fastest first fit (the device pack's
-        extra compiled programs measured 192s vs 48s end-to-end cold fit
-        at last.fm shape) — then switches to the single-COO-upload device
-        pack. "device" forces the device pack: 2.06x measured ingestion
-        wall at 50M-nnz scale once compiled, ~2.7x fewer transport bytes —
-        right for ingestion-bound refit pipelines. "host" always packs on
-        the host.
+        host-packs unless the on-device pack programs are already
+        compile-warm for this matrix structure — the fastest first fit
+        (the device pack's extra compiled programs measured 192s vs 48s
+        end-to-end cold fit at last.fm shape). Warmth only comes from a
+        prior ingest="device" fit or an explicit
+        ``sparse.warm_device_pack`` call — "auto" never compiles the pack
+        programs itself. "device" forces the single-COO-upload device
+        pack: 2.06x measured ingestion wall at 50M-nnz scale once
+        compiled, ~2.7x fewer transport bytes — right for ingestion-bound
+        refit pipelines. "host" always packs on the host.
     """
 
     def __init__(

@@ -65,7 +65,7 @@ def get_lib():
         ]
         lib.topk_rows.restype = ctypes.c_int64
         lib.knn_all_pairs.argtypes = [
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -169,6 +169,24 @@ def topk_rows(indptr, indices, data, K, row_offset=0):
     return np.concatenate(out_r), np.concatenate(out_c), np.concatenate(out_v)
 
 
+def knn_effective_threads(items, num_threads=0):
+    """Worker count the fused KNN kernel will actually run with.
+
+    Each worker thread owns a dense ``items``-sized accumulator (~12B/item
+    incl. the touched list), so the auto count (``num_threads=0``) is
+    capped to keep total accumulator memory inside a fixed budget — the
+    fused kernel stays as memory-bounded as the blocked-scipy path it
+    replaced (one thread is always allowed: the dense accumulator IS the
+    algorithm). Shared with the host-vs-device dispatch cost model
+    (:func:`~implicit_tpu.nearest_neighbours._device_knn_wins`) so the
+    estimate and the execution agree.
+    """
+    if num_threads > 0:
+        return num_threads
+    budget = int(os.environ.get("IMPLICIT_KNN_ACC_BUDGET", 2 << 30))
+    return min(os.cpu_count() or 1, max(1, budget // max(1, items * 12)))
+
+
 def knn_all_pairs(item_users, user_items, K, num_threads=0):
     """Fused AᵀA + per-row top-K over CSR inputs -> (rows, cols, vals) COO.
 
@@ -178,12 +196,10 @@ def knn_all_pairs(item_users, user_items, K, num_threads=0):
     Returns None when the native library is unavailable — callers fall back
     to the blocked scipy formulation.
 
-    Each worker thread owns a dense ``items``-sized accumulator (~12B/item
-    incl. the touched list), so with ``num_threads=0`` the thread count is
-    capped to keep total accumulator memory inside a fixed budget — the
-    fused kernel stays as memory-bounded as the blocked-scipy path it
-    replaced (one thread is always allowed: the dense accumulator IS the
-    algorithm).
+    Thread count is budgeted per :func:`knn_effective_threads`; the
+    ``(rows, K)`` output scratch is likewise bounded by chunking the row
+    range (``IMPLICIT_KNN_OUT_BUDGET``, default 512MB) so memory scales
+    with the real output, not ``items * K``, at huge-catalog sizes.
     """
     lib = get_lib()
     if lib is None:
@@ -192,32 +208,39 @@ def knn_all_pairs(item_users, user_items, K, num_threads=0):
     if K <= 0:
         empty32 = np.array([], dtype=np.int32)
         return empty32, empty32.copy(), np.array([], dtype=np.float64)
-    if num_threads <= 0:
-        budget = int(os.environ.get("IMPLICIT_KNN_ACC_BUDGET", 2 << 30))
-        num_threads = min(os.cpu_count() or 1,
-                          max(1, budget // max(1, items * 12)))
+    num_threads = knn_effective_threads(items, num_threads)
     ip_iu = np.ascontiguousarray(item_users.indptr, dtype=np.int64)
     ix_iu = np.ascontiguousarray(item_users.indices, dtype=np.int32)
     dt_iu = np.ascontiguousarray(item_users.data, dtype=np.float64)
     ip_ui = np.ascontiguousarray(user_items.indptr, dtype=np.int64)
     ix_ui = np.ascontiguousarray(user_items.indices, dtype=np.int32)
     dt_ui = np.ascontiguousarray(user_items.data, dtype=np.float64)
-    out_c = np.empty(items * K, dtype=np.int32)
-    out_v = np.empty(items * K, dtype=np.float64)
-    out_n = np.zeros(items, dtype=np.int32)
-    lib.knn_all_pairs(
-        items, K,
-        _ptr(ip_iu, ctypes.c_int64), _ptr(ix_iu, ctypes.c_int32),
-        _ptr(dt_iu, ctypes.c_double),
-        _ptr(ip_ui, ctypes.c_int64), _ptr(ix_ui, ctypes.c_int32),
-        _ptr(dt_ui, ctypes.c_double), int(num_threads),
-        _ptr(out_c, ctypes.c_int32), _ptr(out_v, ctypes.c_double),
-        _ptr(out_n, ctypes.c_int32),
-    )
-    rows = np.repeat(np.arange(items, dtype=np.int32), out_n)
-    keep = (np.arange(K, dtype=np.int32)[None, :]
-            < out_n[:, None]).reshape(-1)
-    return rows, out_c[keep], out_v[keep]
+    out_budget = int(os.environ.get("IMPLICIT_KNN_OUT_BUDGET", 1 << 29))
+    block = max(1, min(items, out_budget // max(1, K * 12)))
+    out_c = np.empty(block * K, dtype=np.int32)
+    out_v = np.empty(block * K, dtype=np.float64)
+    out_n = np.zeros(block, dtype=np.int32)
+    arange_k = np.arange(K, dtype=np.int32)[None, :]
+    triples = []
+    for start in range(0, items, block):
+        stop = min(start + block, items)
+        n = stop - start
+        lib.knn_all_pairs(
+            items, K, start, stop,
+            _ptr(ip_iu, ctypes.c_int64), _ptr(ix_iu, ctypes.c_int32),
+            _ptr(dt_iu, ctypes.c_double),
+            _ptr(ip_ui, ctypes.c_int64), _ptr(ix_ui, ctypes.c_int32),
+            _ptr(dt_ui, ctypes.c_double), int(num_threads),
+            _ptr(out_c, ctypes.c_int32), _ptr(out_v, ctypes.c_double),
+            _ptr(out_n, ctypes.c_int32),
+        )
+        cnt = out_n[:n]
+        rows = np.repeat(np.arange(start, stop, dtype=np.int32), cnt)
+        keep = (arange_k < cnt[:, None]).reshape(-1)
+        triples.append((rows, out_c[: n * K][keep], out_v[: n * K][keep]))
+    if len(triples) == 1:
+        return triples[0]
+    return tuple(np.concatenate([t[i] for t in triples]) for i in range(3))
 
 
 def cuckoo_build(u, i, a_bits, b_bits, bucket_bits):

@@ -109,19 +109,23 @@ int64_t topk_rows(int64_t rows, int64_t K, const int64_t *indptr,
   return written;
 }
 
-// Fused item-item similarity: per item row i of item_users (items x users),
-// accumulate row i of AᵀA into a dense per-thread accumulator (SMMP) and
-// select its top-K in place — the CSR product never exists in memory.
-// out_cols/out_vals are (items, K) row-sliced scratch; out_cnt[i] says how
-// many entries row i wrote (rows are independent, so this parallelizes
-// without synchronization). Values accumulate in f64 like the scipy path.
-void knn_all_pairs(int64_t items, int64_t K, const int64_t *indptr_iu,
+// Fused item-item similarity: per item row i in [row_start, row_end) of
+// item_users (items x users), accumulate row i of AᵀA into a dense
+// per-thread accumulator (SMMP) and select its top-K in place — the CSR
+// product never exists in memory. out_cols/out_vals are
+// (row_end - row_start, K) row-sliced scratch (callers bound the scratch by
+// chunking the row range; the accumulator always spans all `items`
+// columns); out_cnt[i - row_start] says how many entries row i wrote (rows
+// are independent, so this parallelizes without synchronization). Values
+// accumulate in f64 like the scipy path.
+void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
+                   int64_t row_end, const int64_t *indptr_iu,
                    const int32_t *idx_iu, const double *dat_iu,
                    const int64_t *indptr_ui, const int32_t *idx_ui,
                    const double *dat_ui, int32_t num_threads,
                    int32_t *out_cols, double *out_vals, int32_t *out_cnt) {
   if (K <= 0) {  // heap.front() below is UB on an empty heap
-    std::fill(out_cnt, out_cnt + items, 0);
+    std::fill(out_cnt, out_cnt + (row_end - row_start), 0);
     return;
   }
 #ifdef _OPENMP
@@ -142,7 +146,7 @@ void knn_all_pairs(int64_t items, int64_t K, const int64_t *indptr_iu,
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 64)
 #endif
-    for (int64_t i = 0; i < items; ++i) {
+    for (int64_t i = row_start; i < row_end; ++i) {
       touched.clear();
       const int64_t phi = indptr_iu[i + 1];
       for (int64_t p = indptr_iu[i]; p < phi; ++p) {
@@ -178,9 +182,9 @@ void knn_all_pairs(int64_t items, int64_t K, const int64_t *indptr_iu,
         }
         acc[j] = kEmpty;
       }
-      int32_t *oc = out_cols + i * K;
-      double *ov = out_vals + i * K;
-      out_cnt[i] = static_cast<int32_t>(heap.size());
+      int32_t *oc = out_cols + (i - row_start) * K;
+      double *ov = out_vals + (i - row_start) * K;
+      out_cnt[i - row_start] = static_cast<int32_t>(heap.size());
       for (size_t s = 0; s < heap.size(); ++s) {
         oc[s] = heap[s].second;
         ov[s] = heap[s].first;

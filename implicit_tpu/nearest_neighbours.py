@@ -102,7 +102,8 @@ def all_pairs_knn(
     n_shards = mesh.size if mesh is not None else 1
     item_cap = int(_DEVICE_KNN_MAX_ITEMS * np.sqrt(n_shards))
     if method == "auto":
-        method = "device" if _device_knn_wins(user_items, n_shards) else "host"
+        method = ("device" if _device_knn_wins(user_items, n_shards, num_threads)
+                  else "host")
     if method == "device":
         if user_items.shape[1] > item_cap:
             raise ValueError(
@@ -176,16 +177,20 @@ _DEVICE_KNN_MAX_ITEMS = 36_000
 _DEVICE_KNN_DENSE_BYTES = 1 << 29  # densified-chunk budget (tests shrink it)
 
 
-def _device_knn_wins(csr, n_shards=1):
-    """Estimated-cost dispatch between the host spgemm and the MXU gramian.
+def _device_knn_wins(csr, n_shards=1, num_threads=0):
+    """Estimated-cost dispatch between the host SMMP and the MXU gramian.
 
     Host cost ∝ Σ d_u² (the pair-expansion work of the SMMP-style
-    accumulator, ~40M pairs/s single-core); device cost ∝ I²·U MXU flops
-    plus the one-time COO upload through the transport. A mesh divides the
+    accumulator): the fused native kernel runs ~145M pairs/s per core
+    (measured 11.9s at last.fm shape single-core) across
+    ``knn_effective_threads`` OpenMP workers; the blocked-scipy fallback
+    (no compiler) measured ~40M pairs/s. Device cost ∝ I²·U MXU flops plus
+    the one-time COO upload through the transport. A mesh divides the
     on-device terms by its size. Exact zero/negative similarity ties are
     only representable on the host path (the dense gramian cannot
     distinguish "no co-occurrence" from "similarity 0").
     """
+    from . import native
     from .tpu import HAS_TPU
 
     if not HAS_TPU:
@@ -197,8 +202,12 @@ def _device_knn_wins(csr, n_shards=1):
         return False
     if csr.data.min() < 0:
         return False
+    if native.get_lib() is not None:
+        host_rate = 145e6 * native.knn_effective_threads(items, num_threads)
+    else:
+        host_rate = 40e6  # blocked-scipy fallback pair rate
     degrees = np.diff(csr.indptr).astype(np.float64)
-    host_s = float(degrees @ degrees) / 40e6  # measured scipy spgemm pair rate
+    host_s = float(degrees @ degrees) / host_rate
     device_s = (
         float(items) ** 2 * users * 2 / (20e12 * n_shards)  # 3-pass f32 MXU gramian
         + csr.nnz * 1.2e-8  # device scatter densification
@@ -274,6 +283,55 @@ def _dense_gramian_device(user_items):
     return S
 
 
+# jitted meshed-fit programs keyed by (kind, mesh, static shapes): closures
+# rebuilt per call would re-trace/re-lower on every fit (same policy as
+# _topk_core_block_sharded on the serving side)
+_MESHED_PROGRAMS = {}
+
+
+def _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items):
+    """Jitted sharded gramian-accumulate program, cached per (mesh, shapes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    key = ("gramian", mesh, cap, chunk, block, items_pad, items)
+    if key in _MESHED_PROGRAMS:
+        return _MESHED_PROGRAMS[key]
+    axis = mesh.axis_names[0]
+
+    def acc(S_loc, uids, cols, vals, lo, start):
+        u = jax.lax.dynamic_slice(uids, (lo,), (cap,))
+        c = jax.lax.dynamic_slice(cols, (lo,), (cap,))
+        v = jax.lax.dynamic_slice(vals, (lo,), (cap,))
+        local = u - start  # >= chunk for entries past this chunk -> dropped
+        # the column axis pads to items_pad so the row-block slice below
+        # never clamps (dynamic_slice clamps out-of-range starts, which
+        # would silently shift the last shard's rows)
+        dense = jnp.zeros((chunk, items_pad), jnp.float32).at[local, c].add(
+            v, mode="drop"
+        )
+        r0 = jax.lax.axis_index(axis) * block
+        rows = jax.lax.dynamic_slice(dense, (0, r0), (chunk, block))
+        return S_loc + jax.lax.dot_general(
+            rows, dense[:, :items], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )
+
+    step = jax.jit(
+        shard_map(
+            acc, mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+    return _MESHED_PROGRAMS.setdefault(key, step)
+
+
 def _dense_gramian_meshed(user_items, mesh):
     """Row-sharded dense item gramian ``AᵀA`` over a device mesh.
 
@@ -319,34 +377,7 @@ def _dense_gramian_meshed(user_items, mesh):
     d_vals = jax.device_put(
         np.concatenate([csr.data.astype(np.float32), np.zeros(cap, np.float32)]), rep)
 
-    def acc(S_loc, uids, cols, vals, lo, start):
-        u = jax.lax.dynamic_slice(uids, (lo,), (cap,))
-        c = jax.lax.dynamic_slice(cols, (lo,), (cap,))
-        v = jax.lax.dynamic_slice(vals, (lo,), (cap,))
-        local = u - start  # >= chunk for entries past this chunk -> dropped
-        # the column axis pads to items_pad so the row-block slice below
-        # never clamps (dynamic_slice clamps out-of-range starts, which
-        # would silently shift the last shard's rows)
-        dense = jnp.zeros((chunk, items_pad), jnp.float32).at[local, c].add(
-            v, mode="drop"
-        )
-        r0 = jax.lax.axis_index(axis) * block
-        rows = jax.lax.dynamic_slice(dense, (0, r0), (chunk, block))
-        return S_loc + jax.lax.dot_general(
-            rows, dense[:, :items], (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )
-
-    step = jax.jit(
-        shard_map(
-            acc, mesh=mesh,
-            in_specs=(P(axis, None), P(), P(), P(), P(), P()),
-            out_specs=P(axis, None),
-            check_vma=False,
-        ),
-        donate_argnums=(0,),
-    )
+    step = _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items)
 
     S = jnp.zeros(
         (items_pad, items), jnp.float32, device=NamedSharding(mesh, P(axis, None))
@@ -371,13 +402,16 @@ def _dense_topk_to_coo_meshed(S, items, K, mesh, keep="positive"):
     axis = mesh.axis_names[0]
     k = min(K, items)
 
-    tk = jax.jit(
-        shard_map(
-            lambda Sb: tuple(jax.lax.top_k(Sb, k)), mesh=mesh,
-            in_specs=P(axis, None), out_specs=(P(axis, None), P(axis, None)),
-            check_vma=False,
-        )
-    )
+    key = ("topk", mesh, k)
+    tk = _MESHED_PROGRAMS.get(key)
+    if tk is None:
+        tk = _MESHED_PROGRAMS.setdefault(key, jax.jit(
+            shard_map(
+                lambda Sb: tuple(jax.lax.top_k(Sb, k)), mesh=mesh,
+                in_specs=P(axis, None), out_specs=(P(axis, None), P(axis, None)),
+                check_vma=False,
+            )
+        ))
     vals, cols = tk(S)
     vals = np.asarray(vals, dtype=np.float64)[:items]
     cols = np.asarray(cols)[:items]

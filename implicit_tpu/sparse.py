@@ -177,6 +177,40 @@ class BucketedCSR:
     def padded_entries(self):
         return sum(c.n_chunks * c.C * c.L for c in self.classes)
 
+    def fill(self, csr):
+        """Packs the padded entry tensors into a ``metadata_only`` plan.
+
+        ``csr`` must be the matrix the plan was built from. Lets the
+        ingest="auto" cold path reuse the plans it built for the warmth
+        check instead of re-running the O(nnz) bucketing from scratch
+        (each class piece's ``rows`` already records its row selection).
+        """
+        from . import native
+
+        indptr = np.asarray(csr.indptr)
+        csr_indices = np.asarray(csr.indices, dtype=np.int32)
+        csr_data = np.asarray(csr.data, dtype=self.data_dtype)
+        for cls in self.classes:
+            if cls.indices is not None:
+                continue  # already packed
+            rows = cls.rows.reshape(-1)
+            sel = rows[rows != self.sentinel]
+            packed_idx, packed_dat = native.pack_ragged(
+                indptr, csr_indices, csr_data, sel, cls.L,
+                dtype=self.data_dtype,
+            )
+            padded_rows = rows.shape[0]
+            if padded_rows > len(sel):
+                idx = np.zeros((padded_rows, cls.L), dtype=np.int32)
+                dat = np.zeros((padded_rows, cls.L), dtype=self.data_dtype)
+                idx[: len(sel)] = packed_idx
+                dat[: len(sel)] = packed_dat
+            else:
+                idx, dat = packed_idx, packed_dat
+            cls.indices = idx.reshape(cls.n_chunks, cls.C, cls.L)
+            cls.data = dat.reshape(cls.n_chunks, cls.C, cls.L)
+        return self
+
     def to_device(self):
         """Uploads the chunk tensors to the default device once.
 
@@ -335,7 +369,12 @@ def _pack_marker_path(key):
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
         return None
-    return os.path.join(cache_dir, f"implicit_tpu_packwarm_{key}")
+    # the marker mirrors persistent-cache entries whose keys include the
+    # jax/XLA version and backend — tag it the same way, so a jax upgrade
+    # (which misses the whole cache) also invalidates the warmth claim
+    # instead of routing "auto" into a full cold device-pack compile
+    tag = f"{jax.__version__}_{jax.default_backend()}"
+    return os.path.join(cache_dir, f"implicit_tpu_packwarm_{tag}_{key}")
 
 
 def _device_pack_is_warm(key):
@@ -406,9 +445,14 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
     this structure are known compiled (marker file in the persistent
     compile cache dir, written by any ``"device"`` run or by
     :func:`warm_device_pack`); ``"device"``/``"host"`` force a path.
-    Ingestion-bound production pipelines (repeated huge uploads behind a
-    slow link) should run with ``ingest="device"`` on the model — the
-    measured steady-state win is 2.06x ingestion wall at MSD scale.
+    NOTE "auto" never compiles the pack programs itself — warmth only ever
+    comes from a ``"device"`` run or an explicit :func:`warm_device_pack`
+    call, so auto-only pipelines host-pack indefinitely (by design: paying
+    the compile inside an auto fit is exactly the cold-fit wall this mode
+    exists to avoid). Ingestion-bound production pipelines (repeated huge
+    uploads behind a slow link) should run with ``ingest="device"`` on the
+    model — the measured steady-state win is 2.06x ingestion wall at MSD
+    scale.
 
     ``Ciu`` must be ``Cui.T.tocsr()`` (callers already have it — only its
     host metadata is read; its arrays are NOT uploaded).
@@ -442,7 +486,9 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
 
     key = _pack_structure_key(plan_u, plan_i)
     if mode == "auto" and not _device_pack_is_warm(key):
-        return host_pack()
+        # reuse the plans built for the warmth check: fill() packs the
+        # entry tensors into them without re-running the O(nnz) bucketing
+        return plan_u.fill(Cui).to_device(), plan_i.fill(Ciu).to_device()
 
     cols = jnp.asarray(np.asarray(Cui.indices, dtype=np.int32))
     data = jnp.asarray(np.asarray(Cui.data, dtype=data_dtype))

@@ -132,3 +132,23 @@ def test_quality_clustered():
     p10 = ranking_metrics_at_k(model, train, test, K=10,
                                show_progress=False)["precision"]
     assert p10 > 0.5, p10
+
+
+def test_size1_mesh_degrades_to_plain_solve():
+    """A 1-chip mesh gains nothing from the sharded EASE formulation but
+    pays its higher per-chip footprint, which would LOWER the catalog cap
+    below the plain solve's — so mesh=1 must route to the plain path (and
+    keep the plain cap)."""
+    from implicit_tpu.ease import _ease_max_items, _resolve_ease_mesh
+
+    assert _resolve_ease_mesh(None) is None
+    assert _resolve_ease_mesh(1) is None
+    assert _ease_max_items(None) > _ease_max_items(2)
+
+    rng = np.random.RandomState(3)
+    mat = csr_matrix((rng.rand(30, 12) < 0.4).astype(np.float64))
+    np.testing.assert_allclose(
+        np.asarray(ease_weights(mat, 2.0, mesh=1)),
+        np.asarray(ease_weights(mat, 2.0)),
+        rtol=1e-6, atol=1e-7,
+    )

@@ -213,3 +213,30 @@ def test_host_knn_empty_and_dense_rows():
     assert sim[1].nnz == 0 and sim[3].nnz == 0  # empty items: no neighbours
     assert set(sim[0].indices) == {0, 2}
     assert np.allclose(sim[0].data, 3.0)
+
+
+def test_native_knn_all_pairs_row_chunking_is_invisible(monkeypatch):
+    """A tiny output-scratch budget forces the fused kernel through many
+    row-range calls (native/__init__.py bounds the (rows, K) scratch by
+    IMPLICIT_KNN_OUT_BUDGET); the assembled COO must be identical to the
+    single-call result."""
+    from implicit_tpu import native
+
+    if native.get_lib() is None:
+        return  # toolchain without g++: nothing to chunk
+
+    rng = np.random.default_rng(9)
+    U, I, N = 150, 70, 1500
+    m = csr_matrix(
+        (rng.random(N), (rng.integers(0, U, N), rng.integers(0, I, N))),
+        shape=(U, I),
+    )
+    m.sum_duplicates()
+    iu = m.T.tocsr()
+    iu.sort_indices()
+
+    one = native.knn_all_pairs(iu, m, 10)
+    monkeypatch.setenv("IMPLICIT_KNN_OUT_BUDGET", str(10 * 12 * 7))  # 7-row blocks
+    many = native.knn_all_pairs(iu, m, 10)
+    for a, b in zip(one, many):
+        np.testing.assert_array_equal(a, b)

@@ -156,3 +156,22 @@ def test_pack_pair_auto_routes_by_warmth(monkeypatch):
                                           np.asarray(cb.indices))
             np.testing.assert_array_equal(np.asarray(ca.data),
                                           np.asarray(cb.data))
+
+
+def test_fill_matches_full_constructor():
+    """A metadata-only plan filled after the fact (the ingest="auto" cold
+    path reuses its warmth-check plans this way) must equal the one-shot
+    constructor's packing exactly, on both length-class grids."""
+    rng = np.random.RandomState(11)
+    csr = sparse_random(80, 50, density=0.12, random_state=rng, format="csr")
+    csr.data = csr.data.astype(np.float32)
+    for grid in ("fine", "pow2"):
+        full = BucketedCSR(csr, grid=grid)
+        filled = BucketedCSR(csr, grid=grid, metadata_only=True).fill(csr)
+        assert len(full.classes) == len(filled.classes)
+        for a, b in zip(full.classes, filled.classes):
+            assert (a.L, a.C, a.n_chunks) == (b.L, b.C, b.n_chunks)
+            np.testing.assert_array_equal(a.rows, b.rows)
+            np.testing.assert_array_equal(a.lengths, b.lengths)
+            np.testing.assert_array_equal(a.indices, b.indices)
+            np.testing.assert_array_equal(a.data, b.data)
