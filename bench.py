@@ -175,6 +175,34 @@ def bench_cold_fit(Cui, factors=64, iterations=5):
     return None
 
 
+def bench_compile_probe(n=2):
+    """Seconds to compile one fresh trivial program, measured n times.
+
+    The remote compile service's per-program latency swings between ~1s
+    and ~10min across sessions (see STATUS.md round 3/4 incidents), which
+    dominates every cold-compile row in this file. Each probe bakes a
+    unique constant into the HLO so no cache (in-process, persistent, or
+    service-side) can hit; the numbers let a reader separate "the code got
+    slower" from "the service was degraded during this window".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = []
+    for _ in range(n):
+        salt = float(int(time.time() * 1e6) % (1 << 20)) + 0.5
+        x = jnp.ones((64, 64), jnp.float32)
+        t0 = time.time()
+        try:
+            float(jnp.sum(jax.jit(lambda a: a @ a + salt)(x)))
+        except _StageTimeout:
+            # keep the lower bound the interrupted probe measured
+            out.append(f">={time.time() - t0:.0f}s(timeout)")
+            break
+        out.append(round(time.time() - t0, 2))
+    return out
+
+
 def bench_sgd_epochs(model_cls, Cui, **kwargs):
     """Seconds per epoch via the fit callback; epoch 0 absorbs compiles."""
     times = []
@@ -451,21 +479,26 @@ def main():
     stages = []
     bench_t0 = time.time()
 
-    def stage(name, fn):
+    def stage(name, fn, timeout=STAGE_TIMEOUT):
         if time.time() - bench_t0 > GLOBAL_DEADLINE:
             stages.append(f"{name}=SKIPPED(global deadline)")
             return None
         t0 = time.time()
         try:
-            out = _stage_guard(fn, STAGE_TIMEOUT)
+            out = _stage_guard(fn, timeout)
         except _StageTimeout:
-            stages.append(f"{name}=TIMEOUT@{STAGE_TIMEOUT}s")
+            stages.append(f"{name}=TIMEOUT@{timeout}s")
             return None
         except Exception as exc:  # a failed stage records null, not a crash
             stages.append(f"{name}=FAILED({type(exc).__name__})")
             return None
         stages.append(f"{name}={time.time() - t0:.1f}s")
         return out
+
+    # compile-service health context: cold-compile rows below swing with
+    # the remote service's per-program latency (~1s..~10min across
+    # sessions) — the probe records what THIS window looked like
+    probe0 = stage("compile_probe", bench_compile_probe, timeout=900)
 
     # cold first-fit wall time measured FIRST (nothing ALS-shaped compiled
     # yet in this process, fresh persistent cache inside)
@@ -586,6 +619,12 @@ def main():
     extras["p10_clustered_synthetic_by_model"] = {"value": p10}
     real = stage("quality_real", lambda: bench_quality_real())
     extras["als_p10_movielens100k_real"] = real or {"value": None, "note": "stage skipped"}
+
+    probe1 = stage("compile_probe_end", bench_compile_probe, timeout=900)
+    extras["compile_service_probe_s"] = {
+        "value": {"run_start": probe0, "run_end": probe1},
+        "note": "fresh-program compile latency; cold rows scale with this",
+    }
 
     headline = extras[f"als_f{HEADLINE_FACTORS}_s_per_iter"]
     result = {
