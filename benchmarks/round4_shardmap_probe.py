@@ -33,11 +33,6 @@ def sync(x):
     return float(jnp.sum(jnp.asarray(x, jnp.float32)))
 
 
-def best_of(fn, n=REPS):
-    return min(min((lambda t0: (fn(), time.time() - t0)[1])(time.time())
-                   for _ in range(n)) for _ in range(1))
-
-
 def timeit(fn, n=REPS):
     ts = []
     for _ in range(n):

@@ -121,18 +121,16 @@ def _ease_B_meshed(user_items, regularization, mesh, serve_diag=False):
             )
         return B_loc
 
-    from .nearest_neighbours import _MESHED_PROGRAMS
+    from .nearest_neighbours import _meshed_program
 
     key = ("ease", mesh, block, items, serve_diag)
-    run = _MESHED_PROGRAMS.get(key)
-    if run is None:
-        run = _MESHED_PROGRAMS.setdefault(key, jax.jit(
-            shard_map(
-                solve, mesh=mesh,
-                in_specs=(P(axis, None), P()), out_specs=P(axis, None),
-                check_vma=False,
-            )
-        ))
+    run = _meshed_program(key, lambda: jax.jit(
+        shard_map(
+            solve, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis, None),
+            check_vma=False,
+        )
+    ))
     return run(S, jnp.float32(regularization))
 
 

@@ -79,6 +79,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.cuckoo_build.restype = ctypes.c_int32
+        lib.knn_max_threads.argtypes = []
+        lib.knn_max_threads.restype = ctypes.c_int32
         _lib = lib
     except Exception as exc:  # pragma: no cover - toolchain-dependent
         log.debug("native runtime unavailable, using numpy fallbacks: %s", exc)
@@ -172,19 +174,25 @@ def topk_rows(indptr, indices, data, K, row_offset=0):
 def knn_effective_threads(items, num_threads=0):
     """Worker count the fused KNN kernel will actually run with.
 
-    Each worker thread owns a dense ``items``-sized accumulator (~12B/item
-    incl. the touched list), so the auto count (``num_threads=0``) is
-    capped to keep total accumulator memory inside a fixed budget — the
-    fused kernel stays as memory-bounded as the blocked-scipy path it
-    replaced (one thread is always allowed: the dense accumulator IS the
-    algorithm). Shared with the host-vs-device dispatch cost model
+    Each worker thread owns a dense ``items``-sized stamped accumulator
+    (~13B/item incl. the stamp and touched arrays), so the auto count
+    (``num_threads=0``) is capped to keep total accumulator memory inside
+    a fixed budget — the fused kernel stays as memory-bounded as the
+    blocked-scipy path it replaced (one thread is always allowed: the
+    dense accumulator IS the algorithm). Both the request and the auto
+    count are clamped by ``knn_max_threads`` — 1 when the shared object
+    was built by the -fopenmp-less fallback, where the kernel runs
+    single-threaded no matter what was asked. Shared with the
+    host-vs-device dispatch cost model
     (:func:`~implicit_tpu.nearest_neighbours._device_knn_wins`) so the
     estimate and the execution agree.
     """
+    lib = get_lib()
+    hw = int(lib.knn_max_threads()) if lib is not None else (os.cpu_count() or 1)
     if num_threads > 0:
-        return num_threads
+        return min(num_threads, hw)
     budget = int(os.environ.get("IMPLICIT_KNN_ACC_BUDGET", 2 << 30))
-    return min(os.cpu_count() or 1, max(1, budget // max(1, items * 12)))
+    return min(hw, max(1, budget // max(1, items * 13)))
 
 
 def knn_all_pairs(item_users, user_items, K, num_threads=0):

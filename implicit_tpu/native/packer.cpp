@@ -118,6 +118,17 @@ int64_t topk_rows(int64_t rows, int64_t K, const int64_t *indptr,
 // columns); out_cnt[i - row_start] says how many entries row i wrote (rows
 // are independent, so this parallelizes without synchronization). Values
 // accumulate in f64 like the scipy path.
+// Hardware parallelism actually available to knn_all_pairs: the OpenMP
+// worker pool size, or 1 when this object was built by the -fopenmp-less
+// fallback (the Python cost model must not assume cpu_count threads then).
+int32_t knn_max_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
 void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
                    int64_t row_end, const int64_t *indptr_iu,
                    const int32_t *idx_iu, const double *dat_iu,
@@ -133,10 +144,15 @@ void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
 #pragma omp parallel num_threads(nt)
 #endif
   {
-    // untouched entries hold NaN: "seen" and the value share ONE random
-    // access per pair (this loop is cache-miss bound on the accumulator)
-    const double kEmpty = std::numeric_limits<double>::quiet_NaN();
-    std::vector<double> acc(items, kEmpty);
+    // 8B value array + a separate 1B/item stamp array: the stamp array is
+    // items bytes (L2-resident at catalog scale) so "seen" checks rarely
+    // miss, and no in-band sentinel exists — a NaN-valued accumulation
+    // stays a value. uint8 stamps wrap every 256 rows; a cheap memset
+    // re-arms them.
+    std::vector<double> acc(items, 0.0);
+    std::vector<uint8_t> stamp(items, 255);
+    uint8_t cur = 0;
+    int64_t rows_since_reset = 0;
     std::vector<int32_t> touched;
     touched.reserve(1 << 16);
     std::vector<std::pair<double, int32_t>> heap;
@@ -148,6 +164,13 @@ void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
 #endif
     for (int64_t i = row_start; i < row_end; ++i) {
       touched.clear();
+      if (++rows_since_reset >= 255) {  // re-arm the wrapped stamps
+        std::fill(stamp.begin(), stamp.end(), 255);
+        cur = 0;
+        rows_since_reset = 1;
+      } else {
+        ++cur;
+      }
       const int64_t phi = indptr_iu[i + 1];
       for (int64_t p = indptr_iu[i]; p < phi; ++p) {
         // user rows are visited in random order: prefetch the next rows'
@@ -160,12 +183,12 @@ void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
         const int64_t qhi = indptr_ui[u + 1];
         for (int64_t q = indptr_ui[u]; q < qhi; ++q) {
           const int32_t j = idx_ui[q];
-          const double prev = acc[j];
-          if (prev != prev) {  // NaN = first touch
-            touched.push_back(j);
+          if (stamp[j] != cur) {  // first touch this row
+            stamp[j] = cur;
             acc[j] = viu * dat_ui[q];
+            touched.push_back(j);
           } else {
-            acc[j] = prev + viu * dat_ui[q];
+            acc[j] += viu * dat_ui[q];
           }
         }
       }
@@ -180,7 +203,6 @@ void knn_all_pairs(int64_t items, int64_t K, int64_t row_start,
           heap.back() = {v, j};
           std::push_heap(heap.begin(), heap.end(), less);
         }
-        acc[j] = kEmpty;
       }
       int32_t *oc = out_cols + (i - row_start) * K;
       double *ov = out_vals + (i - row_start) * K;

@@ -219,12 +219,52 @@ def _device_knn_wins(csr, n_shards=1, num_threads=0):
     return host_s > 5.0 and device_s < host_s
 
 
+def _gramian_coo_flats(csr):
+    """Chunk layout + padded COO flats shared by the device gramian paths.
+
+    One upload of the whole matrix as (uid, col, val) flats; each user
+    chunk is then a fixed-size ``dynamic_slice`` of it (overrun into the
+    next chunk and the tail padding land outside the chunk's local row
+    range and are dropped by the scatter) — no per-chunk host packing or
+    transfer. Returns ``(chunk, starts, cap, (uids, cols, vals))`` as host
+    arrays; callers place them with their own sharding.
+
+    Big densified chunks: every accumulate reads+writes the whole (I, I)
+    gramian, so the chunk count — not the matmul — dominates HBM traffic;
+    a 2GB densified slab still leaves the worst-case S plus headroom in HBM.
+    """
+    users, items = csr.shape
+    if csr.nnz >= 1 << 31:
+        # the jitted accumulate programs slice the flats with int32 offsets
+        raise ValueError(
+            "the device gramian slices its COO upload with int32 offsets; "
+            f"matrices with >= 2**31 nonzeros are unsupported (got {csr.nnz:,}). "
+            "Item-item KNN can use method='host'; EASE has no host path at "
+            "this scale."
+        )
+    chunk = max(8, min(users, _DEVICE_KNN_DENSE_BYTES // max(items, 1)))
+    indptr = csr.indptr
+    starts = list(range(0, users, chunk))
+    cap = max(
+        int(indptr[min(s + chunk, users)] - indptr[s]) for s in starts
+    ) if starts else 1
+    cap = max(cap, 1)
+    uids = np.repeat(np.arange(users, dtype=np.int32), np.diff(indptr))
+    flats = (
+        np.concatenate([uids, np.full(cap, users, np.int32)]),
+        np.concatenate([csr.indices.astype(np.int32), np.zeros(cap, np.int32)]),
+        np.concatenate([csr.data.astype(np.float32), np.zeros(cap, np.float32)]),
+    )
+    return chunk, starts, cap, flats
+
+
 def _dense_gramian_device(user_items):
     """Dense item-item gramian ``AᵀA`` on the accelerator, as a device array.
 
     User rows are scatter-densified on device in chunks (from one COO
-    upload) and accumulated as S += DᵀD MXU contractions in f32. Shared by
-    the device KNN fit and the EASE solve (:mod:`implicit_tpu.ease`).
+    upload, :func:`_gramian_coo_flats`) and accumulated as S += DᵀD MXU
+    contractions in f32. Shared by the device KNN fit and the EASE solve
+    (:mod:`implicit_tpu.ease`).
     """
     import functools
 
@@ -233,27 +273,11 @@ def _dense_gramian_device(user_items):
 
     csr = user_items.tocsr()
     users, items = csr.shape
-    # big densified chunks: every accumulate reads+writes the whole (I, I)
-    # gramian, so the chunk count — not the matmul — dominates HBM traffic;
-    # a 2GB D still leaves the 5.2GB worst-case S plus headroom in HBM
-    chunk = max(8, min(users, _DEVICE_KNN_DENSE_BYTES // max(items, 1)))
-
-    # one COO upload for the whole matrix; each chunk is a fixed-size
-    # dynamic_slice of it (overrun into the next chunk and the tail padding
-    # land outside the chunk's local row range and are dropped by the
-    # scatter) — no per-chunk host packing or transfer
     indptr = csr.indptr
-    starts = list(range(0, users, chunk))
-    cap = max(
-        int(indptr[min(s + chunk, users)] - indptr[s]) for s in starts
-    ) if starts else 1
-    cap = max(cap, 1)
-    uids = np.repeat(np.arange(users, dtype=np.int32), np.diff(indptr))
-    d_uids = jnp.asarray(np.concatenate([uids, np.full(cap, users, np.int32)]))
-    d_cols = jnp.asarray(np.concatenate(
-        [csr.indices.astype(np.int32), np.zeros(cap, np.int32)]))
-    d_vals = jnp.asarray(np.concatenate(
-        [csr.data.astype(np.float32), np.zeros(cap, np.float32)]))
+    chunk, starts, cap, (uids, cols, vals) = _gramian_coo_flats(csr)
+    d_uids = jnp.asarray(uids)
+    d_cols = jnp.asarray(cols)
+    d_vals = jnp.asarray(vals)
 
     @functools.partial(
         jax.jit, static_argnames=("cap", "n_rows", "n_items"), donate_argnums=(0,)
@@ -285,8 +309,23 @@ def _dense_gramian_device(user_items):
 
 # jitted meshed-fit programs keyed by (kind, mesh, static shapes): closures
 # rebuilt per call would re-trace/re-lower on every fit (same policy as
-# _topk_core_block_sharded on the serving side)
+# _topk_core_block_sharded on the serving side). LRU-bounded: the keys carry
+# data-dependent values (cap, chunk change with every new dataset), so an
+# unbounded dict would grow compiled-program memory without limit in a
+# long-lived service refitting on evolving matrices.
 _MESHED_PROGRAMS = {}
+_MESHED_PROGRAMS_CAP = 32
+
+
+def _meshed_program(key, build):
+    """Bounded LRU fetch-or-build for the jitted meshed-fit programs."""
+    prog = _MESHED_PROGRAMS.pop(key, None)
+    if prog is None:
+        prog = build()
+        while len(_MESHED_PROGRAMS) >= _MESHED_PROGRAMS_CAP:
+            _MESHED_PROGRAMS.pop(next(iter(_MESHED_PROGRAMS)))
+    _MESHED_PROGRAMS[key] = prog
+    return prog
 
 
 def _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items):
@@ -297,8 +336,6 @@ def _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items):
     from jax.sharding import PartitionSpec as P
 
     key = ("gramian", mesh, cap, chunk, block, items_pad, items)
-    if key in _MESHED_PROGRAMS:
-        return _MESHED_PROGRAMS[key]
     axis = mesh.axis_names[0]
 
     def acc(S_loc, uids, cols, vals, lo, start):
@@ -320,7 +357,7 @@ def _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items):
             preferred_element_type=jnp.float32,
         )
 
-    step = jax.jit(
+    return _meshed_program(key, lambda: jax.jit(
         shard_map(
             acc, mesh=mesh,
             in_specs=(P(axis, None), P(), P(), P(), P(), P()),
@@ -328,8 +365,7 @@ def _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items):
             check_vma=False,
         ),
         donate_argnums=(0,),
-    )
-    return _MESHED_PROGRAMS.setdefault(key, step)
+    ))
 
 
 def _dense_gramian_meshed(user_items, mesh):
@@ -351,7 +387,6 @@ def _dense_gramian_meshed(user_items, mesh):
     """
     import jax
     import jax.numpy as jnp
-    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     csr = user_items.tocsr()
@@ -360,22 +395,13 @@ def _dense_gramian_meshed(user_items, mesh):
     D = mesh.shape[axis]
     block = max(1, -(-items // D))
     items_pad = D * block
-    chunk = max(8, min(users, _DEVICE_KNN_DENSE_BYTES // max(items, 1)))
 
     indptr = csr.indptr
-    starts = list(range(0, users, chunk))
-    cap = max(
-        int(indptr[min(s + chunk, users)] - indptr[s]) for s in starts
-    ) if starts else 1
-    cap = max(cap, 1)
+    chunk, starts, cap, (uids, cols, vals) = _gramian_coo_flats(csr)
     rep = NamedSharding(mesh, P())
-    uids = np.repeat(np.arange(users, dtype=np.int32), np.diff(indptr))
-    d_uids = jax.device_put(
-        np.concatenate([uids, np.full(cap, users, np.int32)]), rep)
-    d_cols = jax.device_put(
-        np.concatenate([csr.indices.astype(np.int32), np.zeros(cap, np.int32)]), rep)
-    d_vals = jax.device_put(
-        np.concatenate([csr.data.astype(np.float32), np.zeros(cap, np.float32)]), rep)
+    d_uids = jax.device_put(uids, rep)
+    d_cols = jax.device_put(cols, rep)
+    d_vals = jax.device_put(vals, rep)
 
     step = _meshed_gramian_step(mesh, cap, chunk, block, items_pad, items)
 
@@ -403,15 +429,13 @@ def _dense_topk_to_coo_meshed(S, items, K, mesh, keep="positive"):
     k = min(K, items)
 
     key = ("topk", mesh, k)
-    tk = _MESHED_PROGRAMS.get(key)
-    if tk is None:
-        tk = _MESHED_PROGRAMS.setdefault(key, jax.jit(
-            shard_map(
-                lambda Sb: tuple(jax.lax.top_k(Sb, k)), mesh=mesh,
-                in_specs=P(axis, None), out_specs=(P(axis, None), P(axis, None)),
-                check_vma=False,
-            )
-        ))
+    tk = _meshed_program(key, lambda: jax.jit(
+        shard_map(
+            lambda Sb: tuple(jax.lax.top_k(Sb, k)), mesh=mesh,
+            in_specs=P(axis, None), out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    ))
     vals, cols = tk(S)
     vals = np.asarray(vals, dtype=np.float64)[:items]
     cols = np.asarray(cols)[:items]

@@ -467,6 +467,12 @@ def pack_pair_on_device(Cui, Ciu, target_entries=1 << 23, max_chunk_rows=32768,
                             max_chunk_rows=max_chunk_rows, grid=grid,
                             data_dtype=data_dtype).to_device())
 
+    if mode not in ("auto", "host", "device"):
+        # an unrecognized string would otherwise fall through to the forced
+        # device pack — on a cold cache that is the 192s-vs-48s wall the
+        # mode knob exists to avoid
+        raise ValueError(f"mode must be 'auto', 'host' or 'device', got {mode!r}")
+
     if mode == "host":
         return host_pack()
 

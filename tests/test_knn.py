@@ -202,6 +202,83 @@ def test_native_knn_all_pairs_matches_scipy_oracle():
             assert np.allclose(np.sort(grow.data)[::-1], top, atol=1e-12)
 
 
+def test_gramian_coo_flats_rejects_int32_overflow_nnz():
+    """Both device gramian paths (KNN device fit AND EASE) must refuse
+    matrices whose COO flats can't be sliced with int32 offsets, instead of
+    silently corrupting dynamic_slice starts."""
+    import types
+
+    import pytest
+
+    from implicit_tpu.nearest_neighbours import _gramian_coo_flats
+
+    fake = types.SimpleNamespace(shape=(1 << 24, 1000), nnz=1 << 31)
+    with pytest.raises(ValueError, match="int32"):
+        _gramian_coo_flats(fake)
+
+
+def test_meshed_program_cache_is_bounded():
+    """Data-dependent keys (cap/chunk) must not grow the compiled-program
+    cache without bound across refits; the most recent program survives."""
+    from implicit_tpu import nearest_neighbours as nn
+
+    saved = dict(nn._MESHED_PROGRAMS)
+    nn._MESHED_PROGRAMS.clear()
+    try:
+        for i in range(nn._MESHED_PROGRAMS_CAP + 10):
+            nn._meshed_program(("t", i), lambda i=i: i)
+        assert len(nn._MESHED_PROGRAMS) <= nn._MESHED_PROGRAMS_CAP
+        last = ("t", nn._MESHED_PROGRAMS_CAP + 9)
+        assert nn._meshed_program(last, lambda: "rebuilt") != "rebuilt"
+    finally:
+        nn._MESHED_PROGRAMS.clear()
+        nn._MESHED_PROGRAMS.update(saved)
+
+
+def test_native_knn_all_pairs_nan_weight_no_corruption():
+    """A NaN interaction weight must stay a value, not become the kernel's
+    'untouched' sentinel: rows whose accumulations never meet the NaN must
+    match the scipy product exactly, and no row may emit duplicate columns
+    or more than K entries (the old NaN-sentinel design re-first-touched
+    NaN accumulators, duplicating and dropping entries)."""
+    from implicit_tpu import native
+
+    if native.get_lib() is None:
+        return
+
+    rng = np.random.default_rng(11)
+    U, I, N = 120, 60, 1200
+    m = csr_matrix(
+        (rng.random(N) + 0.1, (rng.integers(0, U, N), rng.integers(0, I, N))),
+        shape=(U, I),
+    )
+    m.sum_duplicates()
+    m.data[0] = np.nan  # one poisoned interaction
+    iu = m.T.tocsr()
+    iu.sort_indices()
+    sim = (iu @ m).tocsr()
+
+    K = 8
+    rows, cols, vals = native.knn_all_pairs(iu, m, K)
+    got = {}
+    for r, c, v in zip(rows, cols, vals):
+        assert (r, c) not in got, f"duplicate entry ({r},{c})"
+        got[(r, c)] = v
+    counts = np.bincount(rows, minlength=I)
+    assert counts.max() <= K
+
+    # rows of the true product that contain no NaN must agree exactly
+    for i in range(I):
+        srow = sim[i]
+        if srow.nnz == 0 or np.isnan(srow.data).any():
+            continue
+        k = min(K, srow.nnz)
+        top = np.sort(srow.data)[::-1][:k]
+        mine = np.sort([v for (r, _), v in got.items() if r == i])[::-1]
+        assert len(mine) == k
+        np.testing.assert_allclose(mine, top, atol=1e-12)
+
+
 def test_host_knn_empty_and_dense_rows():
     """Items with no users and items co-occurring with everything."""
     from implicit_tpu.nearest_neighbours import _all_pairs_knn_host

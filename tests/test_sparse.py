@@ -105,6 +105,19 @@ def test_pack_pair_on_device_matches_host_packer():
                                               np.asarray(w.lengths))
 
 
+def test_pack_pair_on_device_rejects_unknown_mode():
+    """A typo'd mode must raise, not silently force the device pack (the
+    cold-cache 192s-vs-48s wall the knob exists to avoid)."""
+    import pytest
+    from scipy.sparse import csr_matrix
+
+    from implicit_tpu.sparse import pack_pair_on_device
+
+    Cui = csr_matrix(np.ones((3, 2), dtype=np.float32))
+    with pytest.raises(ValueError, match="mode must be"):
+        pack_pair_on_device(Cui, Cui.T.tocsr(), mode="Auto")
+
+
 def test_pack_pair_on_device_empty_matrix():
     from scipy.sparse import csr_matrix
 
