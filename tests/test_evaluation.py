@@ -157,6 +157,22 @@ def test_als_quality_gate_movielens100k_real():
     assert precision_at_k(model, train, test, show_progress=False) > 0.2
 
 
+def test_als_quality_gate_stdlib_corpus_real():
+    """The reference's real-data gate protocol run on REAL data that ships
+    with the package (datasets/stdlib_corpus.py — module x token counts from
+    the CPython stdlib, ML-100k scale): ALS p@10 must beat the reference's
+    0.2 threshold (/root/reference/tests/evaluation_test.py:103-119). Unlike
+    the movielens test above this one always runs — no download needed."""
+    from implicit_tpu.datasets.stdlib_corpus import get_stdlib_corpus
+
+    _, _, counts = get_stdlib_corpus()
+    assert counts.shape[0] > 500 and counts.nnz > 40_000
+    train, test = train_test_split(counts, train_percentage=0.8, random_state=42)
+    model = AlternatingLeastSquares(factors=64, regularization=0.05, random_state=3)
+    model.fit(train, show_progress=False)
+    assert precision_at_k(model, train, test, K=10, show_progress=False) > 0.2
+
+
 def test_als_quality_gate():
     # end-to-end quality gate: the reference requires p@10 > 0.2 on ML-100k
     # (tests/evaluation_test.py:103-119); this synthetic set plays that role
