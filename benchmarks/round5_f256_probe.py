@@ -42,12 +42,6 @@ def sync(x):
     return float(jnp.sum(x))
 
 
-def best(fn, n=3):
-    fn()
-    return min(-(time.time() - t0) * -1 for t0 in [time.time()] if fn() is None or True
-               for _ in [0]) if False else min(_timed(fn) for _ in range(n))
-
-
 def _timed(fn):
     t0 = time.time()
     fn()

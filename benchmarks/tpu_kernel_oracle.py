@@ -20,6 +20,12 @@ import os
 import sys
 
 QUICK = bool(int(os.environ.get("ORACLE_QUICK", "0")))
+# ORACLE_INTERPRET=1: run the same case matrix through the Pallas
+# interpreter instead of real Mosaic — the off-hardware CI mode (the
+# mosaic-vs-interp checks are skipped since both sides would be the
+# interpreter; the vs-reference/vs-composed formulation checks remain).
+# tests/test_misc.py runs the QUICK+INTERPRET combination on every push.
+INTERPRET = bool(int(os.environ.get("ORACLE_INTERPRET", "0")))
 
 import jax
 import jax.numpy as jnp
@@ -69,11 +75,12 @@ def cg_case(C, L, F, seed, table_dtype=jnp.float32):
 
 def main():
     dev = jax.devices()[0]
-    print("device:", dev, flush=True)
-    if dev.platform not in ("tpu", "axon"):
+    print("device:", dev, "interpret:", INTERPRET, flush=True)
+    if dev.platform not in ("tpu", "axon") and not INTERPRET:
         print("NOT a TPU — this script validates real-Mosaic lowering; "
-              "use tests/test_pallas.py on CPU.", flush=True)
+              "set ORACLE_INTERPRET=1 for the off-hardware mode.", flush=True)
         sys.exit(2)
+    interpret = INTERPRET
 
     # weighted matvec: f32 and bf16 tables, both (alpha, beta) modes
     wm_cases = [(64, 8, 128), (128, 96, 128), (16, 256, 128),
@@ -85,12 +92,12 @@ def main():
         bv = jnp.asarray(rng.random((C, L), dtype=np.float32))
         v = jnp.asarray(rng.standard_normal((C, F), dtype=np.float32))
         for alpha, beta in [(1.0, -1.0), (0.0, 1.0)]:
-            got = weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=False)
+            got = weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=interpret)
             want = weighted_matvec_reference(Yu, w, bv, v, alpha, beta)
             check(f"wmatvec f32 C{C} L{L} F{F} a{alpha} b{beta}",
                   got, want, 1e-3, 1e-3)
         got = weighted_matvec(Yu.astype(jnp.bfloat16), w, bv, v, 1.0, -1.0,
-                              interpret=False)
+                              interpret=interpret)
         want = weighted_matvec_reference(Yu.astype(jnp.bfloat16), w, bv, v,
                                          1.0, -1.0)
         check(f"wmatvec bf16 C{C} L{L} F{F}", got, want, 5e-2, 1.0)
@@ -112,10 +119,13 @@ def main():
         for dt, tag, lo in [(jnp.float32, "f32", (5e-3, 5e-3)),
                             (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
             Yu, dat, x0, YtY = cg_case(*shape, seed=shape[1], table_dtype=dt)
-            got = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=False)
-            interp = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3, interpret=True)
-            check(f"cg_full {tag} {shape} mosaic-vs-interp", got, interp,
-                  *interp_tol(tag))
+            got = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3,
+                                interpret=interpret)
+            if not INTERPRET:
+                interp = cg_solve_full(Yu, dat, x0, YtY, cg_steps=3,
+                                       interpret=True)
+                check(f"cg_full {tag} {shape} mosaic-vs-interp", got, interp,
+                      *interp_tol(tag))
             check(f"cg_full {tag} {shape} vs-composed", got,
                   composed_cg(Yu, dat, x0, YtY, 3), *lo)
 
@@ -126,11 +136,12 @@ def main():
                             (jnp.bfloat16, "bf16", (5e-2, 5e-2))]:
             Yu, dat, x0, YtY = cg_case(*shape, seed=shape[2], table_dtype=dt)
             got = gramian_cg_solve(Yu, dat, x0, YtY, cg_steps=3,
-                                   interpret=False)
-            interp = gramian_cg_solve(Yu, dat, x0, YtY, cg_steps=3,
-                                      interpret=True)
-            check(f"gramian_cg {tag} {shape} mosaic-vs-interp", got, interp,
-                  1e-5, 1e-5)
+                                   interpret=interpret)
+            if not INTERPRET:
+                interp = gramian_cg_solve(Yu, dat, x0, YtY, cg_steps=3,
+                                          interpret=True)
+                check(f"gramian_cg {tag} {shape} mosaic-vs-interp", got, interp,
+                      1e-5, 1e-5)
             check(f"gramian_cg {tag} {shape} vs-composed", got,
                   composed_cg(Yu, dat, x0, YtY, 3), *lo)
 

@@ -196,3 +196,24 @@ def test_dataset_probe_honors_env_path(tmp_path, monkeypatch):
     # fetch_cached returns the cached file without any network call
     assert _download.fetch_cached("http://invalid.invalid/x",
                                   "movielens_100k.hdf5") == str(target)
+
+
+def test_kernel_oracle_quick_interpret_mode():
+    """The on-hardware kernel oracle's reduced matrix, run off-hardware
+    through the Pallas interpreter (ORACLE_QUICK=1 ORACLE_INTERPRET=1) —
+    kernel-math regressions get caught on every push, not only when a TPU
+    is attached (the full Mosaic run remains benchmarks/tpu_kernel_oracle.py
+    on real hardware, which caught a live bf16 lowering bug in round 4)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, ORACLE_QUICK="1", ORACLE_INTERPRET="1",
+               JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = root + ":" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "benchmarks", "tpu_kernel_oracle.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "FAIL" not in out.stdout
