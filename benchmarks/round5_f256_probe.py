@@ -101,26 +101,33 @@ def main():
         print(f"[gather] F={F:3d} bf16 rows/gather=64k total={n/1e6:.0f}M"
               f" wall={dt:.4f}s ns/row={dt/n*1e9:.2f}", flush=True)
 
-    # ---- end-to-end s/iter at 128 and 256 (current default path) ----
+    # ---- end-to-end s/iter at 128 and 256: carried-X scan vs end-scatter
+    # (round-5 structural experiment: the carried form serializes chunk
+    # i+1's gather behind chunk i's scatter; the end-scatter form leaves
+    # every chunk's gather+solve independent for XLA to pipeline) ----
     results = {}
     for F in (128, 256):
         X0 = jnp.asarray(rng.random((USERS, F), dtype=np.float32) * 0.01)
         Y0 = jnp.asarray(rng.random((ITEMS, F), dtype=np.float32) * 0.01)
         sync(X0), sync(Y0)
+        for end_scatter in (1, 0):
+            als_ops.ALS_END_SCATTER = end_scatter
 
-        def run(F=F, X0=X0, Y0=Y0):
-            X = X0 + 0.0
-            Y = Y0 + 0.0
-            sync(X)
-            t0 = time.time()
-            X, Y = als_ops.fit(X, Y, dub, dib, 0.01, iterations=5,
-                               compute_dtype="bfloat16")
-            sync(X)
-            return (time.time() - t0) / 5
+            def run(F=F, X0=X0, Y0=Y0):
+                X = X0 + 0.0
+                Y = Y0 + 0.0
+                sync(X)
+                t0 = time.time()
+                X, Y = als_ops.fit(X, Y, dub, dib, 0.01, iterations=5,
+                                   compute_dtype="bfloat16")
+                sync(X)
+                return (time.time() - t0) / 5
 
-        run()
-        results[F] = min(run() for _ in range(3))
-        print(f"[e2e] F={F} {results[F]:.4f} s/iter", flush=True)
+            run()
+            results[(F, end_scatter)] = min(run() for _ in range(3))
+            print(f"[e2e] F={F} end_scatter={end_scatter} "
+                  f"{results[(F, end_scatter)]:.4f} s/iter", flush=True)
+    als_ops.ALS_END_SCATTER = 1
 
     # ---- per-side split at F=256 ----
     for F in (128, 256):

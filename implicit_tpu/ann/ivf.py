@@ -87,22 +87,41 @@ def _trim_rows(ids, scores, row_filters, N):
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _kmeans_run(X, key, k, iters):
-    """Jitted spherical k-means (module-level: repeat builds hit the cache)."""
-    n = X.shape[0]
+    """Jitted spherical k-means (module-level: repeat builds hit the cache).
+
+    Assignment runs over row blocks (scanned) so the (n, k) score matrix is
+    never materialized — a 5M x 2k catalog would otherwise demand ~44GB for
+    one argmax pass. Block size keeps the per-block score tile near 512MB;
+    small catalogs stay a single block (identical program to the unblocked
+    original). Padding rows are zero: they score 0 everywhere and add zero
+    vectors to whichever cluster argmax picks.
+    """
+    n, f = X.shape
     init = jax.random.choice(key, n, (k,), replace=False)
     C = X[init]
 
-    def step(C, _):
-        assign = jnp.argmax(
-            jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1
+    block = max(1, min(n, (1 << 27) // max(k, 1)))
+    nb = -(-n // block)
+    pad = nb * block - n
+    Xb = (jnp.pad(X, ((0, pad), (0, 0))) if pad else X).reshape(nb, block, f)
+
+    def assign_block(xb, C):
+        return jnp.argmax(
+            jnp.dot(xb, C.T, preferred_element_type=jnp.float32), axis=1
         )
-        sums = jnp.zeros_like(C).at[assign].add(X)
+
+    def step(C, _):
+        def blk(sums, xb):
+            a = assign_block(xb, C)
+            return sums.at[a].add(xb), None
+
+        sums, _ = jax.lax.scan(blk, jnp.zeros_like(C), Xb)
         norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
         C = jnp.where(norms > 1e-12, sums / jnp.maximum(norms, 1e-12), C)
         return C, None
 
     C, _ = jax.lax.scan(step, C, None, length=iters)
-    assign = jnp.argmax(jnp.dot(X, C.T, preferred_element_type=jnp.float32), axis=1)
+    assign = jax.lax.map(lambda xb: assign_block(xb, C), Xb).reshape(-1)[:n]
     return C, assign
 
 

@@ -135,6 +135,9 @@ def ranking_metrics_at_k(
     """Calculates precision@K, MAP@K, NDCG@K and AUC@K for a trained model.
 
     Metric definitions match /root/reference/implicit/evaluation.pyx:437-465.
+    ``num_threads`` sizes the pipelined-recommend in-flight window (the TPU
+    analogue of the reference spreading its recommend batches over threads,
+    evaluation.pyx:500-506); the metric math itself is vectorized numpy.
     """
     if not isinstance(train_user_items, csr_matrix):
         train_user_items = train_user_items.tocsr()
@@ -180,7 +183,8 @@ def ranking_metrics_at_k(
         # MF models stream: the host metric math of one batch overlaps the
         # device compute / transport of the next
         stream = model.recommend_pipelined(
-            ((b, train_user_items[b]) for b in batches), N=K, max_in_flight=2
+            ((b, train_user_items[b]) for b in batches), N=K,
+            max_in_flight=max(2, int(num_threads)),
         )
     else:
         stream = (

@@ -85,8 +85,22 @@ BPR_SORT_SAMPLES = 0
 # 2B bias gather/scatter) instead of 3 gathers + 5 scatters. Row traffic is
 # identical; the target is per-op issue/scheduling overhead, which the
 # round-2/3 measurements put at ~2x the raw gather/scatter floor.
-# Default pending measurement on the real TPU (see STATUS.md).
+# Measured dead end (round 3: +11%); kept as a documented measurement point.
 BPR_FUSED_BUFFER = 0
+
+# user-grouped epoch (round 5): instead of drawing nnz random positives,
+# visit every positive once per epoch through the bucketed CSR chunks the
+# ALS/LMF engines already use. The TPU gather/scatter engine is PER-INDEX
+# bound (round-4 decomposition: 43% of the classic epoch is scatters and a
+# 4B indexed op costs ~2x a 512B row op), and grouping turns every
+# user-side indexed op into a chunk-contiguous one: X gathers/scatters drop
+# from ~2*nnz to ~2*n_users per epoch and the per-sample index gathers
+# vanish entirely (positives stream out of the resident chunk tensors).
+# 0 = classic sampled epoch, 1 = grouped with per-entry negative gathers
+# (exact reference popularity draw), 2 = grouped with window-pool negatives
+# (the LMF pool trick: negatives slice a pre-shuffled popularity snapshot,
+# removing the per-entry negative row/bias/id gathers too).
+BPR_GROUPED = 0
 
 
 @functools.partial(
@@ -260,6 +274,114 @@ def _bpr_epoch(
     (X, Y, yb, correct, skipped), _ = jax.lax.scan(
         step, (X, Y, yb, jnp.int32(0), jnp.int32(0)), subkeys
     )
+    return X, Y, yb, correct, skipped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("verify_neg", "bisect_iters", "mh", "pool_mode"),
+    donate_argnums=(0, 1, 2),
+)
+def _bpr_epoch_grouped(X, Y, yb, classes, iflat, indptr, table, arrangement,
+                       key, lr, reg, verify_neg, bisect_iters, mh,
+                       pool_mode=False):
+    """One user-grouped BPR epoch over bucketed CSR chunks (BPR_GROUPED).
+
+    Visits every positive exactly once per epoch (the multiset the classic
+    epoch samples uniformly WITH replacement — same expected visit counts),
+    streaming them out of the same padded chunk tensors the ALS engine
+    solves over. Per chunk of C user rows x L entries:
+
+    - the C user factors arrive in one C-row gather and leave in one C-row
+      set — per epoch that is ~2*n_users user-side indexed ops instead of
+      the classic epoch's ~2*nnz, and the per-sample index gathers
+      (liked/disliked flats) disappear entirely;
+    - each entry draws one negative: ``pool_mode=False`` gathers it from
+      the interaction multiset per entry (the reference's exact popularity
+      draw, bpr.pyx:268-272); ``pool_mode=True`` slices each row's
+      negatives from a pre-shuffled popularity snapshot (the measured LMF
+      window trick) — ids and factors arrive as contiguous DMAs and the
+      per-entry negative row/bias/id gathers vanish too. Pool factors are
+      epoch-start values (the update itself always lands on live Y);
+    - updates use the same equations as the classic epoch (gradients at
+      chunk-start values, scatter-adds sum collisions), with one
+      stability fix the grouping makes necessary: a user row's
+      regularization applies as the exact sequential shrinkage
+      ``(1-lr*reg)^n_kept`` — the first-order ``1 - n*lr*reg`` of summed
+      per-sample terms goes *negative* for rows longer than 1/(lr*reg)
+      (last.fm's hottest users exceed it 4x).
+
+    Item-side updates keep the classic first-order form: chunks are sized
+    (~64k entries, the classic batch size) so per-chunk duplicate counts of
+    hot items match the classic epoch's per-batch counts.
+    """
+    n_users = X.shape[0]
+    n_samples = iflat.shape[0]
+    F = X.shape[1]
+    correct = jnp.int32(0)
+    skipped = jnp.int32(0)
+    if pool_mode:
+        # epoch-start popularity snapshot (functional: reads the input Y)
+        Ypop = Y[arrangement]
+        ybpop = yb[arrangement]
+    gamma = jnp.maximum(1.0 - lr * reg, 0.0)
+
+    for ci, (rows, idx, dat) in enumerate(classes):
+        n_chunks = rows.shape[0]
+        L = idx.shape[2]
+        keys = jax.random.split(jax.random.fold_in(key, ci), n_chunks)
+
+        def chunk_step(carry, chunk, L=L):
+            X, Y, yb, correct, skipped = carry
+            crows, cidx, cdat, ck = chunk
+            C = crows.shape[0]
+            x = X[jnp.clip(crows, 0, n_users - 1)]
+            Yu = Y[cidx]
+            bl = yb[cidx]
+            if pool_mode:
+                span = arrangement.shape[0] - L  # wrap-padded by max L
+                off = jax.random.randint(ck, (C,), 0, span)
+                negids = jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(arrangement, (o,), (L,))
+                )(off)
+                Yn = jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(Ypop, (o, 0), (L, F))
+                )(off)
+                bn = jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(ybpop, (o,), (L,))
+                )(off)
+            else:
+                r = jax.random.randint(ck, (C, L), 0, n_samples)
+                negids = iflat[r]
+                Yn = Y[negids]
+                bn = yb[negids]
+            u2 = jnp.broadcast_to(crows[:, None], (C, L))
+            skip = _verify_skip(indptr, iflat, table, u2, negids,
+                                verify_neg, bisect_iters, mh)
+            diff = Yu - Yn
+            score = jnp.einsum("clf,cf->cl", diff, x) + bl - bn
+            z = 1.0 / (1.0 + jnp.exp(score))
+            valid = cdat != 0
+            keep = valid & ~skip
+            correct = correct + jnp.sum((z < 0.5) & keep)
+            skipped = skipped + jnp.sum(valid & skip)
+            scale = jnp.where(keep, lr, 0.0)
+            sz = scale * z
+            n_keep = jnp.sum(keep, axis=1).astype(jnp.float32)
+            x_new = (gamma ** n_keep)[:, None] * x + jnp.einsum(
+                "cl,clf->cf", sz, diff)
+            X = X.at[crows].set(x_new, mode="drop")
+            dyl = sz[:, :, None] * x[:, None, :] - (scale * reg)[:, :, None] * Yu
+            dyd = -sz[:, :, None] * x[:, None, :] - (scale * reg)[:, :, None] * Yn
+            Y = Y.at[cidx].add(dyl)
+            Y = Y.at[negids].add(dyd)
+            yb = yb.at[cidx].add(scale * (z - reg * bl))
+            yb = yb.at[negids].add(scale * (-z - reg * bn))
+            return (X, Y, yb, correct, skipped), None
+
+        (X, Y, yb, correct, skipped), _ = jax.lax.scan(
+            chunk_step, (X, Y, yb, correct, skipped), (rows, idx, dat, keys)
+        )
     return X, Y, yb, correct, skipped
 
 
@@ -498,6 +620,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         # Single-device default stacks both sides into one table (see
         # BPR_FUSED_BUFFER); the sharded path keeps the split layout.
         fused = BPR_FUSED_BUFFER and mesh is None
+        grouped = BPR_GROUPED and mesh is None and not fused
         if fused:
             W = jnp.asarray(
                 np.concatenate(
@@ -516,10 +639,17 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         # The bisection fallback and the measurement variants keep the
         # split flats (they index them independently).
         packed = ((mh is not None or not self.verify_negative_samples)
-                  and not fused
+                  and not fused and not grouped
                   and (mesh is not None or not BPR_SORT_SAMPLES))
         dummy = jnp.zeros((1,), dtype=jnp.int32)
-        if packed:
+        if grouped:
+            # the grouped epoch streams positives out of the chunk tensors;
+            # only the item flat (negative draws + bisection) and indptr
+            # (bisection) upload
+            uids = dummy
+            iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
+            indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
+        elif packed:
             uids = jnp.asarray(
                 np.stack([userids, user_items.indices.astype(np.int32)], axis=1))
             iids = dummy
@@ -529,6 +659,31 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
             iids = jnp.asarray(user_items.indices, dtype=jnp.int32)
             indptr = jnp.asarray(user_items.indptr, dtype=jnp.int32)
         table_d = jnp.asarray(table)
+
+        grouped_classes = None
+        arrangement = jnp.zeros((1,), dtype=jnp.int32)
+        if grouped:
+            from ..sparse import BucketedCSR
+
+            # chunks sized like the classic epoch's minibatch (~64k entries)
+            # so hot items collide per chunk no more than they collide per
+            # classic batch; values binarized so padding (0) is the only
+            # invalid marker even when callers store explicit zeros
+            bin_ui = user_items.copy()
+            bin_ui.data = np.ones(len(bin_ui.data), dtype=np.float32)
+            gb = BucketedCSR(bin_ui, target_entries=1 << 16,
+                             max_chunk_rows=8192).to_device()
+            grouped_classes = tuple(
+                (c.rows, c.indices, c.data) for c in gb.classes)
+            if BPR_GROUPED == 2:
+                # pre-shuffled popularity snapshot ids, wrap-padded by the
+                # largest chunk width so windows can start anywhere
+                max_l = max(c.indices.shape[2] for c in gb.classes)
+                pool = user_items.indices.astype(np.int32)
+                cap = int(min(len(pool), 1 << 21))
+                pool = rs.permutation(pool)[:cap]
+                arrangement = jnp.asarray(
+                    np.concatenate([pool, pool[:max_l]]))
 
         key = jax.random.PRNGKey(int(rs.integers(0, 2**31)))
 
@@ -540,7 +695,17 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                 # named step for `jax.profiler.trace` timelines
                 with jax.profiler.StepTraceAnnotation("bpr_epoch",
                                                       step_num=epoch):
-                    if mesh is not None:
+                    if grouped:
+                        X, Y, yb, correct, skipped = _bpr_epoch_grouped(
+                            X, Y, yb, grouped_classes, iids, indptr, table_d,
+                            arrangement, subkey,
+                            jnp.float32(self.learning_rate),
+                            jnp.float32(self.regularization),
+                            verify_neg=self.verify_negative_samples,
+                            bisect_iters=bisect_iters, mh=mh,
+                            pool_mode=BPR_GROUPED == 2,
+                        )
+                    elif mesh is not None:
                         X, Y, yb, correct, skipped = _bpr_epoch_sharded(
                             X, Y, yb, uids, iids, indptr, table_d, subkey,
                             jnp.float32(self.learning_rate), jnp.float32(self.regularization),
@@ -564,7 +729,9 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                     correct = int(correct)
                     skipped = int(skipped)
                 progress.update(1)
-                if mesh is not None:
+                if grouped:
+                    total = samples  # every positive visited exactly once
+                elif mesh is not None:
                     # each chip draws ceil(batch/n) samples per step
                     n_dev = mesh.shape["d"]
                     total = steps * (-(-batch // n_dev)) * n_dev

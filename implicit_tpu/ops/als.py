@@ -130,6 +130,33 @@ def _masked_cg(x, r, Ax, cg_steps):
     return x
 
 
+# Class solves emit per-chunk solutions as scan OUTPUTS and scatter once per
+# class (flag=1, default) instead of carrying X through a per-chunk
+# .at[].set. Row sets are disjoint across chunks and classes and warm starts
+# read each row's own pre-iteration value, so the math is identical — but
+# the carried form makes chunk i+1's gather wait on chunk i's scatter, while
+# the output form leaves every chunk's gather+solve independent for XLA to
+# pipeline. 0 restores the carried form (measurement toggle; clear the jit
+# cache when flipping at runtime). Default pending the round-5 on-hardware
+# measurement (benchmarks/round5_f256_probe.py).
+ALS_END_SCATTER = 0
+
+
+def _scan_class(X, chunks, solve_chunk):
+    """Shared scan driver for class solves; ``chunks = (rows, idx, dat)``."""
+    if ALS_END_SCATTER:
+        _, xs = jax.lax.scan(lambda c, chunk: (None, solve_chunk(X, chunk)),
+                             None, chunks)
+        return X.at[chunks[0].reshape(-1)].set(
+            xs.reshape(-1, X.shape[1]), mode="drop")
+
+    def chunk_step(X, chunk):
+        return X.at[chunk[0]].set(solve_chunk(X, chunk), mode="drop"), None
+
+    X, _ = jax.lax.scan(chunk_step, X, chunks)
+    return X
+
+
 def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     """Batched CG solves for every chunk of one bucket class (traceable).
 
@@ -149,7 +176,7 @@ def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
     else:
         sparse_term = pallas_ops.weighted_matvec_reference
 
-    def chunk_step(X, chunk):
+    def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
         Yu = _gather_rows(Yparts, cidx, n_fac)  # (C, L, F) gather in compute dtype
         w, bv = _weights(cdat)
@@ -157,18 +184,15 @@ def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
 
         # r = b - A x in one fused pass over Yu (+ the dense YtY term)
         r = sparse_term(Yu, w, bv, x, 1.0, -1.0) - jnp.dot(x, YtY_reg, precision=HIGH)
-        x = _masked_cg(
+        return _masked_cg(
             x,
             r,
             lambda v: sparse_term(Yu, w, bv, v, 0.0, 1.0)
             + jnp.dot(v, YtY_reg, precision=HIGH),
             cg_steps,
         )
-        X = X.at[crows].set(x, mode="drop")
-        return X, None
 
-    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
-    return X
+    return _scan_class(X, (rows, idx, dat), solve_chunk)
 
 
 def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
@@ -182,7 +206,7 @@ def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
 
     n_fac = X.shape[1]
 
-    def chunk_step(X, chunk):
+    def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
         Yu = _gather_rows(Yparts, cidx, n_fac)
         w, bv = _weights(cdat)
@@ -194,16 +218,12 @@ def _cho_class(X, Yparts, YtY_reg, rows, idx, dat, spd=False):
             preferred_element_type=acc_dt, precision=HIGH,
         )
         if spd:
-            x = jax.scipy.linalg.cho_solve(
+            return jax.scipy.linalg.cho_solve(
                 (jnp.linalg.cholesky(A), True), b[..., None]
             )[..., 0]
-        else:
-            x = jnp.linalg.solve(A, b[..., None])[..., 0]
-        X = X.at[crows].set(x, mode="drop")
-        return X, None
+        return jnp.linalg.solve(A, b[..., None])[..., 0]
 
-    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
-    return X
+    return _scan_class(X, (rows, idx, dat), solve_chunk)
 
 
 def _full_cg_max_l(compute_dtype, factors=128):
@@ -226,16 +246,13 @@ def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     n_rows = X.shape[0]
 
-    def chunk_step(X, chunk):
+    def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
         Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
-        x = pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
-        X = X.at[crows].set(x, mode="drop")
-        return X, None
+        return pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
 
-    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
-    return X
+    return _scan_class(X, (rows, idx, dat), solve_chunk)
 
 
 def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
@@ -252,16 +269,13 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     n_rows = X.shape[0]
 
-    def chunk_step(X, chunk):
+    def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
         Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
-        x = pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps)
-        X = X.at[crows].set(x, mode="drop")
-        return X, None
+        return pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps)
 
-    X, _ = jax.lax.scan(chunk_step, X, (rows, idx, dat))
-    return X
+    return _scan_class(X, (rows, idx, dat), solve_chunk)
 
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,

@@ -63,3 +63,21 @@ def test_bf16_compute_close_to_f32():
     err = np.abs(np.asarray(x32) - np.asarray(x16)).max()
     scale = np.abs(np.asarray(x32)).max()
     assert err / scale < 0.05
+
+
+def test_end_scatter_form_matches_carried(monkeypatch):
+    # The scan-with-output + single-scatter class solve (ALS_END_SCATTER=1)
+    # must be bit-identical to the carried-X form: chunk/class row sets are
+    # disjoint and warm starts read each row's own pre-iteration value, so
+    # the restructure only changes scheduling, never math.
+    buckets, X0, Y = _setup(seed=5)
+    for use_cg in (True, False):
+        monkeypatch.setattr(als_ops, "ALS_END_SCATTER", 0)
+        carried = np.asarray(als_ops.solve_side(
+            jnp.array(X0), Y, buckets, 0.01, use_cg=use_cg))
+        als_ops._solve_side_jit.clear_cache()
+        monkeypatch.setattr(als_ops, "ALS_END_SCATTER", 1)
+        scattered = np.asarray(als_ops.solve_side(
+            jnp.array(X0), Y, buckets, 0.01, use_cg=use_cg))
+        als_ops._solve_side_jit.clear_cache()
+        np.testing.assert_array_equal(carried, scattered)

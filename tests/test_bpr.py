@@ -1,9 +1,11 @@
 """BPR-specific tests (see /root/reference/tests/bpr_test.py:31-39)."""
 
 import numpy as np
+import pytest
 from scipy.sparse import csr_matrix
 
 from implicit_tpu.bpr import BayesianPersonalizedRanking
+from conftest import get_checkerboard
 
 
 def test_empty_matrix():
@@ -89,3 +91,76 @@ def test_packed_sample_flats_match_split():
     np.testing.assert_array_equal(np.asarray(out_split[2]), np.asarray(out_packed[2]))
     assert int(out_split[3]) == int(out_packed[3])
     assert int(out_split[4]) == int(out_packed[4])
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_grouped_epoch_checkerboard_and_stats(mode, monkeypatch):
+    """The user-grouped epoch (BPR_GROUPED=1: per-entry negative gathers;
+    =2: window-pool negatives) must keep the checkerboard exactness gate
+    and produce sane training statistics (skipped > 0 with verification on,
+    train accuracy high by the end)."""
+    import implicit_tpu.models.bpr as bprmod
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+
+    monkeypatch.setattr(bprmod, "BPR_GROUPED", mode)
+    cb = get_checkerboard(40)
+    stats = []
+    m = BayesianPersonalizedRanking(factors=31, learning_rate=0.01,
+                                    regularization=0, random_state=42)
+    m.fit(cb, show_progress=False,
+          callback=lambda e, t, c, s: stats.append((c, s)))
+    ids, _ = m.recommend(np.arange(40), cb, N=1)
+    assert (ids[:, 0] == np.arange(40)).all()
+    correct, skipped = stats[-1]
+    total = cb.nnz
+    assert skipped > 0  # verification actually rejects liked negatives
+    assert correct / (total - skipped) > 0.85
+    assert np.isfinite(m.user_factors).all()
+    assert np.isfinite(m.item_factors).all()
+    # the pinned user bias column survives the grouped path
+    np.testing.assert_array_equal(m.user_factors[:, -1], 1.0)
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_grouped_epoch_explicit_zeros_and_empty_rows(mode, monkeypatch):
+    """Stored explicit zeros count as positives (reference semantics: any
+    stored entry is 'liked', bpr.pyx samples indices not values) and empty
+    rows/cols keep zero factors."""
+    import implicit_tpu.models.bpr as bprmod
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+
+    monkeypatch.setattr(bprmod, "BPR_GROUPED", mode)
+    m = csr_matrix(np.array([
+        [1.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [3.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 1.0],
+    ]))
+    m[0, 2] = 0.0  # explicit stored zero
+    model = BayesianPersonalizedRanking(factors=7, iterations=10,
+                                        random_state=3)
+    model.fit(m, show_progress=False)
+    assert np.isfinite(model.user_factors).all()
+    assert (model.user_factors[1, :-1] == 0).all()  # empty row stays zero
+
+
+def test_grouped_long_row_regularization_stable(monkeypatch):
+    """A user row longer than 1/(lr*reg) must shrink via the exact
+    (1-lr*reg)^n factor, not the first-order 1-n*lr*reg (which goes
+    negative and explodes factors)."""
+    import implicit_tpu.models.bpr as bprmod
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+
+    monkeypatch.setattr(bprmod, "BPR_GROUPED", 1)
+    rng = np.random.default_rng(0)
+    users, items = 8, 300
+    dense = np.zeros((users, items), dtype=np.float32)
+    dense[0, :250] = 1.0  # 250 > 1/(lr*reg) = 200 at lr=0.2, reg=0.025
+    for u in range(1, users):
+        dense[u, rng.choice(items, 20, replace=False)] = 1.0
+    model = BayesianPersonalizedRanking(
+        factors=15, learning_rate=0.2, regularization=0.025, iterations=5,
+        random_state=1)
+    model.fit(csr_matrix(dense), show_progress=False)
+    assert np.isfinite(model.user_factors).all()
+    assert np.abs(model.user_factors[0, :-1]).max() < 10.0

@@ -214,6 +214,6 @@ def test_kernel_oracle_quick_interpret_mode():
     env["PYTHONPATH"] = root + ":" + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.join(root, "benchmarks", "tpu_kernel_oracle.py")],
-        env=env, capture_output=True, text=True, timeout=600)
+        env=env, capture_output=True, text=True, timeout=1200)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "FAIL" not in out.stdout
