@@ -520,6 +520,12 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
 
+    # emit an (all-null) record IMMEDIATELY: if the transport is hard-down
+    # and even backend init hangs past the driver's budget, the parser still
+    # finds one JSON line instead of nothing (the round-4 failure mode)
+    stages.append("start")
+    emit()
+
     def stage(name, fn, timeout=STAGE_TIMEOUT, skip=None):
         if skip:
             stages.append(f"{name}=SKIPPED({skip})")

@@ -31,6 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if INTERPRET:
+    # off-hardware mode must never touch the accelerator transport: env
+    # JAX_PLATFORMS alone can't win over the accelerator sitecustomize,
+    # and a down tunnel blocks backend init indefinitely (observed: the
+    # CI oracle subprocess hung the whole suite during a tunnel outage)
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
