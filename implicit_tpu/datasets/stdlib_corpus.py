@@ -41,7 +41,11 @@ _MIN_TOKENS = 10
 def get_stdlib_corpus():
     """Returns (module_names, tokens, counts) — counts is a modules x tokens
     CSR of identifier occurrence counts, ready to ``fit`` (rows are the
-    "users"). Ships with the package; no download needed."""
+    "users"). Ships with the package; no download needed. If the committed
+    artifact is somehow absent (a source checkout stripped of data files),
+    it is rebuilt once from the running interpreter's stdlib."""
+    if not os.path.exists(_DATA):
+        generate_dataset()
     with np.load(_DATA, allow_pickle=False) as f:
         counts = csr_matrix(
             (f["data"], f["indices"], f["indptr"]),
