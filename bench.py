@@ -623,10 +623,17 @@ def main():
     bpr_s = stage("bpr", lambda: bench_sgd_epochs(
         BayesianPersonalizedRanking, Cui, factors=128, random_state=1))
     extras["bpr_s_per_epoch_f128"] = _row(bpr_s, digits=3)
-    # reference-comparable units: one epoch draws ~nnz sample pairs
+    # reference-comparable units: one epoch visits ~nnz sample pairs
     # (bpr.cu:72-137 processes nnz samples per bpr_update call)
     extras["bpr_samples_per_s_f128"] = _row(
         Cui.nnz / bpr_s if bpr_s else None, digits=0)
+    emit()
+    # the classic sampled epoch (the default before round 5's grouped
+    # engine) for round-over-round continuity
+    bpr_cls = stage("bpr_sampled", lambda: bench_sgd_epochs(
+        BayesianPersonalizedRanking, Cui, factors=128, random_state=1,
+        epoch_mode="sampled"))
+    extras["bpr_s_per_epoch_f128_sampled"] = _row(bpr_cls, digits=3)
     emit()
 
     lmf_s = stage("lmf", lambda: bench_sgd_epochs(

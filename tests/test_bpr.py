@@ -144,6 +144,41 @@ def test_grouped_epoch_explicit_zeros_and_empty_rows(mode, monkeypatch):
     assert (model.user_factors[1, :-1] == 0).all()  # empty row stays zero
 
 
+def test_epoch_mode_ctor_knob(monkeypatch):
+    """epoch_mode overrides the module default; 'sampled' reproduces the
+    classic engine bit-for-bit (same seed), and bad values raise."""
+    import implicit_tpu.models.bpr as bprmod
+    from implicit_tpu.bpr import BayesianPersonalizedRanking
+
+    cb = get_checkerboard(12)
+
+    # grouped is the module default
+    assert bprmod.BPR_GROUPED == 1
+    m_default = BayesianPersonalizedRanking(factors=7, iterations=3,
+                                            random_state=5)
+    assert m_default._resolve_epoch_mode() == 1
+
+    # the ctor knob wins over the module flag
+    monkeypatch.setattr(bprmod, "BPR_GROUPED", 0)
+    m_grp = BayesianPersonalizedRanking(factors=7, iterations=3,
+                                        random_state=5, epoch_mode="grouped")
+    assert m_grp._resolve_epoch_mode() == 1
+
+    # 'sampled' == classic engine, bit-identical to BPR_GROUPED=0
+    m_cls = BayesianPersonalizedRanking(factors=7, iterations=3,
+                                        random_state=5)
+    m_cls.fit(cb, show_progress=False)
+    m_s = BayesianPersonalizedRanking(factors=7, iterations=3,
+                                      random_state=5, epoch_mode="sampled")
+    m_s.fit(cb, show_progress=False)
+    np.testing.assert_array_equal(m_cls.user_factors, m_s.user_factors)
+    np.testing.assert_array_equal(m_cls.item_factors, m_s.item_factors)
+
+    with pytest.raises(ValueError, match="epoch_mode"):
+        BayesianPersonalizedRanking(epoch_mode="hogwild").fit(
+            cb, show_progress=False)
+
+
 def test_grouped_long_row_regularization_stable(monkeypatch):
     """A user row longer than 1/(lr*reg) must shrink via the exact
     (1-lr*reg)^n factor, not the first-order 1-n*lr*reg (which goes
