@@ -137,8 +137,12 @@ def _masked_cg(x, r, Ax, cg_steps):
 # the carried form makes chunk i+1's gather wait on chunk i's scatter, while
 # the output form leaves every chunk's gather+solve independent for XLA to
 # pipeline. 0 restores the carried form (measurement toggle; clear the jit
-# cache when flipping at runtime). Default pending the round-5 on-hardware
-# measurement (benchmarks/round5_f256_probe.py).
+# cache when flipping at runtime). Measured on v5e (round5_f256_probe.py,
+# last.fm shape, bf16): identical at both widths (F=128: 0.2271 vs 0.2272
+# s/iter; F=256: 0.4507 vs 0.4491) — XLA already overlaps the carried
+# form's chunk scatters with the next chunk's gather, so the false
+# dependency costs nothing in practice. Kept off (carried) as the
+# simpler/lower-peak-memory form; the toggle remains a measurement point.
 ALS_END_SCATTER = 0
 
 
