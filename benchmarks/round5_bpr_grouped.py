@@ -40,7 +40,8 @@ def main():
     nnz = Cui.nnz
 
     results = {}
-    for label, mode in (("classic", 0), ("grouped", 1), ("grouped+pool", 2)):
+    for label, mode in (("classic", 0), ("grouped", 1), ("grouped+pool", 2),
+                        ("grouped+poolids", 3)):
         bprmod.BPR_GROUPED = mode
         times, stats = [], []
         model = BayesianPersonalizedRanking(factors=128, iterations=4,

@@ -99,7 +99,10 @@ BPR_FUSED_BUFFER = 0
 # 0 = classic sampled epoch, 1 = grouped with per-entry negative gathers
 # (exact reference popularity draw), 2 = grouped with window-pool negatives
 # (the LMF pool trick: negatives slice a pre-shuffled popularity snapshot,
-# removing the per-entry negative row/bias/id gathers too).
+# removing the per-entry negative row/bias/id gathers too), 3 = grouped
+# with pooled negative ids/biases but LIVE per-entry factor gathers (the
+# 4-byte indexed ops vanish, the factor-window HBM blowup of mode 2
+# doesn't appear).
 # Measured on v5e (last.fm shape, f=128, round 5): classic 2.450 s/epoch,
 # grouped 1.888 (1.30x, p@10 parity on the clustered gate 0.8703 vs
 # 0.8708), grouped+pool 3.041 (the (C,L,F) window slices cost more HBM
@@ -301,13 +304,20 @@ def _bpr_epoch_grouped(X, Y, yb, classes, iflat, indptr, table, arrangement,
       set — per epoch that is ~2*n_users user-side indexed ops instead of
       the classic epoch's ~2*nnz, and the per-sample index gathers
       (liked/disliked flats) disappear entirely;
-    - each entry draws one negative: ``pool_mode=False`` gathers it from
+    - each entry draws one negative: ``pool_mode=0`` gathers it from
       the interaction multiset per entry (the reference's exact popularity
-      draw, bpr.pyx:268-272); ``pool_mode=True`` slices each row's
-      negatives from a pre-shuffled popularity snapshot (the measured LMF
-      window trick) — ids and factors arrive as contiguous DMAs and the
-      per-entry negative row/bias/id gathers vanish too. Pool factors are
-      epoch-start values (the update itself always lands on live Y);
+      draw, bpr.pyx:268-272); ``pool_mode=2`` slices each row's
+      negatives AND their factors/biases from a pre-shuffled popularity
+      snapshot (the measured LMF window trick) — ids and factors arrive as
+      contiguous DMAs and the per-entry negative row/bias/id gathers
+      vanish too, but the (C, L, F) factor windows re-read more HBM than
+      the gathers they replace (measured dead end, STATUS.md round 5);
+      ``pool_mode=1`` pools only the ids and biases (tiny contiguous
+      slices) while the negative FACTORS stay live per-entry gathers —
+      removing the per-entry id and bias gathers (the 4-byte indexed ops
+      the engine pays ~2x a row op for) without the factor-window
+      traffic. Pool bias values are epoch-start values (the update itself
+      always lands on live Y/yb);
     - updates use the same equations as the classic epoch (gradients at
       chunk-start values, scatter-adds sum collisions), with one
       stability fix the grouping makes necessary: a user row's
@@ -327,8 +337,9 @@ def _bpr_epoch_grouped(X, Y, yb, classes, iflat, indptr, table, arrangement,
     skipped = jnp.int32(0)
     if pool_mode:
         # epoch-start popularity snapshot (functional: reads the input Y)
-        Ypop = Y[arrangement]
         ybpop = yb[arrangement]
+        if pool_mode == 2:
+            Ypop = Y[arrangement]
     gamma = jnp.maximum(1.0 - lr * reg, 0.0)
 
     for ci, (rows, idx, dat) in enumerate(classes):
@@ -349,12 +360,15 @@ def _bpr_epoch_grouped(X, Y, yb, classes, iflat, indptr, table, arrangement,
                 negids = jax.vmap(
                     lambda o: jax.lax.dynamic_slice(arrangement, (o,), (L,))
                 )(off)
-                Yn = jax.vmap(
-                    lambda o: jax.lax.dynamic_slice(Ypop, (o, 0), (L, F))
-                )(off)
                 bn = jax.vmap(
                     lambda o: jax.lax.dynamic_slice(ybpop, (o,), (L,))
                 )(off)
+                if pool_mode == 2:
+                    Yn = jax.vmap(
+                        lambda o: jax.lax.dynamic_slice(Ypop, (o, 0), (L, F))
+                    )(off)
+                else:
+                    Yn = Y[negids]
             else:
                 r = jax.random.randint(ck, (C, L), 0, n_samples)
                 negids = iflat[r]
@@ -535,9 +549,14 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         indexed ops from ~2*nnz to ~2*n_users. ``"sampled"`` draws nnz
         uniform positives with replacement per epoch (the reference's
         schedule, ``bpr.pyx:265-272``). Both draw negatives from the exact
-        popularity distribution. The mesh path always trains ``"sampled"``
-        (its all-gather update is batch-structured). ``None`` follows the
-        module default (``BPR_GROUPED``).
+        popularity distribution. ``"grouped_pool_ids"`` replaces the
+        per-entry negative id/bias gathers with contiguous window slices
+        of a pre-shuffled epoch-start popularity snapshot (negative
+        FACTORS stay live gathers); ``"grouped_pool"`` additionally pools
+        the factors (measured slower — the windows re-read more HBM than
+        the gathers they remove). The mesh path always trains
+        ``"sampled"`` (its all-gather update is batch-structured).
+        ``None`` follows the module default (``BPR_GROUPED``).
     """
 
     def __init__(
@@ -567,13 +586,14 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
     def _resolve_epoch_mode(self):
         if self.epoch_mode is None:
             return BPR_GROUPED
-        modes = {"sampled": 0, "grouped": 1, "grouped_pool": 2, 0: 0, 1: 1, 2: 2}
+        modes = {"sampled": 0, "grouped": 1, "grouped_pool": 2,
+                 "grouped_pool_ids": 3, 0: 0, 1: 1, 2: 2, 3: 3}
         try:
             return modes[self.epoch_mode]
         except KeyError:
             raise ValueError(
-                f"epoch_mode must be 'sampled', 'grouped' or 'grouped_pool',"
-                f" got {self.epoch_mode!r}"
+                f"epoch_mode must be 'sampled', 'grouped', 'grouped_pool' or"
+                f" 'grouped_pool_ids', got {self.epoch_mode!r}"
             ) from None
 
     def fit(self, user_items, show_progress=True, callback=None):
@@ -707,7 +727,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                              max_chunk_rows=8192).to_device()
             grouped_classes = tuple(
                 (c.rows, c.indices, c.data) for c in gb.classes)
-            if epoch_mode == 2:
+            if epoch_mode in (2, 3):
                 # pre-shuffled popularity snapshot ids, wrap-padded by the
                 # largest chunk width so windows can start anywhere
                 max_l = max(c.indices.shape[2] for c in gb.classes)
@@ -735,7 +755,7 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
                             jnp.float32(self.regularization),
                             verify_neg=self.verify_negative_samples,
                             bisect_iters=bisect_iters, mh=mh,
-                            pool_mode=epoch_mode == 2,
+                            pool_mode={1: 0, 2: 2, 3: 1}[epoch_mode],
                         )
                     elif mesh is not None:
                         X, Y, yb, correct, skipped = _bpr_epoch_sharded(

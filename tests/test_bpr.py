@@ -93,10 +93,10 @@ def test_packed_sample_flats_match_split():
     assert int(out_split[4]) == int(out_packed[4])
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", [1, 2, 3])
 def test_grouped_epoch_checkerboard_and_stats(mode, monkeypatch):
     """The user-grouped epoch (BPR_GROUPED=1: per-entry negative gathers;
-    =2: window-pool negatives) must keep the checkerboard exactness gate
+    =2: window-pool negatives; =3: pooled ids/bias + live factor gathers) must keep the checkerboard exactness gate
     and produce sane training statistics (skipped > 0 with verification on,
     train accuracy high by the end)."""
     import implicit_tpu.models.bpr as bprmod
@@ -121,7 +121,7 @@ def test_grouped_epoch_checkerboard_and_stats(mode, monkeypatch):
     np.testing.assert_array_equal(m.user_factors[:, -1], 1.0)
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", [1, 2, 3])
 def test_grouped_epoch_explicit_zeros_and_empty_rows(mode, monkeypatch):
     """Stored explicit zeros count as positives (reference semantics: any
     stored entry is 'liked', bpr.pyx samples indices not values) and empty
