@@ -564,9 +564,27 @@ def main():
     gen_s = time.time() - t0
 
     t0 = time.time()
-    # match the model fit's chunk policy at the benchmarked factor counts
-    user_buckets = BucketedCSR(Cui, target_entries=1 << 24, max_chunk_rows=65536).to_device()
-    item_buckets = BucketedCSR(Ciu, target_entries=1 << 24, max_chunk_rows=65536).to_device()
+    # buckets follow the model fit's chunk policy per (width, dtype) so the
+    # rows measure the PRODUCT configuration (the wide-factor rows were
+    # previously measured through f=128-sized buckets whose oversized
+    # gathered blocks defeat double-buffering — round5_chunk_sweep.py);
+    # distinct policy targets share one build+upload
+    from implicit_tpu.sparse import als_chunk_target
+
+    _buckets = {}
+
+    def buckets_for(factors, compute_dtype):
+        target = als_chunk_target(factors, compute_dtype)
+        if target not in _buckets:
+            _buckets[target] = (
+                BucketedCSR(Cui, target_entries=target,
+                            max_chunk_rows=65536).to_device(),
+                BucketedCSR(Ciu, target_entries=target,
+                            max_chunk_rows=65536).to_device(),
+            )
+        return _buckets[target]
+
+    user_buckets, item_buckets = buckets_for(128, "bfloat16")
     prep_s = time.time() - t0
 
     # ALS across factor counts, HEADLINE FIRST: bf16 tiles with f32
@@ -574,11 +592,11 @@ def main():
     # reference GPU's fp16); the f32 mode is benchmarked at 128 as well
     for f in (128, 64, 256, 192):
         s = stage(f"als{f}", lambda f=f: bench_als(
-            Cui, user_buckets, item_buckets, f, "bfloat16"))
+            Cui, *buckets_for(f, "bfloat16"), f, "bfloat16"))
         extras[f"als_f{f}_s_per_iter"] = _row(s, A6000_S_PER_ITER[f])
         emit()
     s_f32 = stage("als128_f32", lambda: bench_als(
-        Cui, user_buckets, item_buckets, 128, "float32"))
+        Cui, *buckets_for(128, "float32"), 128, "float32"))
     extras["als_f128_float32_s_per_iter"] = _row(s_f32, A6000_S_PER_ITER[128])
     emit()
 

@@ -21,7 +21,7 @@ import scipy.sparse
 from tqdm.auto import tqdm
 
 from ..ops import als as als_ops
-from ..sparse import BucketedCSR, pack_pair_on_device
+from ..sparse import BucketedCSR, als_chunk_target, pack_pair_on_device
 from ..utils import ParameterWarning, check_csr, check_random_state
 from .mf_base import MatrixFactorizationBase
 
@@ -213,13 +213,8 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         loss = None
 
         s = time.time()
-        # chunk sizing: bound the (C, L, F) gathered factor block a solver
-        # materializes to ~4GB of HBM; within that, bigger chunks are faster
-        # (fewer serialized scan steps — 16M entries measured 7% faster than
-        # 2M at f=128 bf16, monotone through the sweep)
-        compute_itemsize = 2 if self._compute_dtype == "bfloat16" else 4
-        target = int(np.clip((4 << 30) // (self.factors * compute_itemsize),
-                             1 << 21, 1 << 24))
+        # chunk sizing: one shared policy with bench.py (sparse.als_chunk_target)
+        target = als_chunk_target(self.factors, self._compute_dtype)
         grid = "pow2" if self.grid == "auto" else self.grid
         if self.mesh is not None:
             return self._fit_sharded(Cui, Ciu, target, grid, show_progress,

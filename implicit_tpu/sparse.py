@@ -42,6 +42,24 @@ def length_class_grid(nnz_per_row, min_L=8, grid="fine"):
     return L_per_row
 
 
+def als_chunk_target(factors, compute_dtype="float32", block_bytes=4 << 30):
+    """The ALS fit's target_entries policy for a factor width.
+
+    Bounds the (C, L, F) gathered factor block a solver materializes to
+    ``block_bytes`` of HBM. Within the bound, bigger chunks are faster at
+    F<=128 (fewer serialized scan steps: 16M entries measured 7% faster
+    than 2M at f=128 bf16, monotone through the sweep); the bound itself
+    matters at wide F, where an over-sized block defeats double-buffering
+    (see benchmarks/round5_chunk_sweep.py). One shared definition so the
+    model fit and bench.py measure the same configuration.
+    """
+    import numpy as np
+
+    itemsize = 2 if str(compute_dtype) in ("bfloat16", "float16") else 4
+    return int(np.clip(block_bytes // (int(factors) * itemsize),
+                       1 << 21, 1 << 24))
+
+
 def chunk_pieces(count, L, target_entries, max_chunk_rows):
     """[(start, stop, n_chunks, C)] chunk layout for ``count`` rows of
     padded length L. C stays a multiple of the 8-row sublane tile; a
