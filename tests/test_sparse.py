@@ -188,3 +188,22 @@ def test_fill_matches_full_constructor():
             np.testing.assert_array_equal(a.lengths, b.lengths)
             np.testing.assert_array_equal(a.indices, b.indices)
             np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_als_chunk_target_policy():
+    """One shared chunk policy for the model fit and bench: the gathered
+    (C, L, F) block is bounded (4GB default) and the target stays inside
+    [2^21, 2^24] at any width/dtype."""
+    from implicit_tpu.sparse import als_chunk_target
+
+    assert als_chunk_target(128, "bfloat16") == 1 << 24
+    assert als_chunk_target(64, "bfloat16") == 1 << 24   # clipped high
+    assert als_chunk_target(256, "bfloat16") == 1 << 23
+    assert als_chunk_target(128, "float32") == 1 << 23
+    assert als_chunk_target(4096, "float32") == 1 << 21  # clipped low
+    for f in (64, 96, 128, 192, 256, 512):
+        for d in ("bfloat16", "float32"):
+            t = als_chunk_target(f, d)
+            size = 2 if d == "bfloat16" else 4
+            assert (1 << 21) <= t <= (1 << 24)
+            assert t * f * size <= (4 << 30) or t == 1 << 21
