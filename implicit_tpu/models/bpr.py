@@ -103,10 +103,14 @@ BPR_FUSED_BUFFER = 0
 # with pooled negative ids/biases but LIVE per-entry factor gathers (the
 # 4-byte indexed ops vanish, the factor-window HBM blowup of mode 2
 # doesn't appear).
-# Measured on v5e (last.fm shape, f=128, round 5): classic 2.450 s/epoch,
-# grouped 1.888 (1.30x, p@10 parity on the clustered gate 0.8703 vs
-# 0.8708), grouped+pool 3.041 (the (C,L,F) window slices cost more HBM
-# traffic than the negative gathers they remove — a measured dead end).
+# Measured on v5e (last.fm shape, f=128, round 5, two sessions): classic
+# 2.43-2.45 s/epoch, grouped 1.89-1.91 (1.27-1.30x, p@10 parity on the
+# clustered gate 0.8703 vs 0.8708), grouped+pool 3.03-3.04 (the (C,L,F)
+# window slices cost more HBM traffic than the negative gathers they
+# remove — a measured dead end), grouped+poolids 2.69 (0.90x — also a
+# dead end: the (C,L) id/bias window slices still materialize per-chunk
+# tensors costing more than the 4B gathers they replace, and the
+# negative FACTOR gathers, the actual wall, are untouched).
 # Mode 1 is the default; the ctor's epoch_mode overrides per model.
 BPR_GROUPED = 1
 
@@ -553,8 +557,10 @@ class BayesianPersonalizedRanking(MatrixFactorizationBase):
         per-entry negative id/bias gathers with contiguous window slices
         of a pre-shuffled epoch-start popularity snapshot (negative
         FACTORS stay live gathers); ``"grouped_pool"`` additionally pools
-        the factors (measured slower — the windows re-read more HBM than
-        the gathers they remove). The mesh path always trains
+        the factors. Both pool modes measured SLOWER than ``"grouped"``
+        on v5e (0.90x / 0.80x) — the window slices re-read more HBM than
+        the gathers they remove; they remain as documented measurement
+        points. The mesh path always trains
         ``"sampled"`` (its all-gather update is batch-structured).
         ``None`` follows the module default (``BPR_GROUPED``).
     """
