@@ -100,7 +100,8 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def bench_als(Cui, user_buckets, item_buckets, factors, compute_dtype, iters=5):
+def bench_als(Cui, user_buckets, item_buckets, factors, compute_dtype, iters=5,
+              gather_quant=False):
     """Best-of-3 seconds per ALS iteration at the given factor count."""
     import jax.numpy as jnp
 
@@ -118,7 +119,7 @@ def bench_als(Cui, user_buckets, item_buckets, factors, compute_dtype, iters=5):
         t0 = time.time()
         X, Y = als_ops.fit(
             X, Y, user_buckets, item_buckets, 0.01, iterations=iters,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, gather_quant=gather_quant,
         )
         _sync(X)
         return (time.time() - t0) / iters
@@ -598,6 +599,15 @@ def main():
     s_f32 = stage("als128_f32", lambda: bench_als(
         Cui, *buckets_for(128, "float32"), 128, "float32"))
     extras["als_f128_float32_s_per_iter"] = _row(s_f32, A6000_S_PER_ITER[128])
+    emit()
+    # int8 gather-table mode at wide F: the 176MB bf16 user table at F=256
+    # misses the VMEM promotion boundary and gathers at the HBM per-index
+    # rate; the int8 copy (88MB + scales) fits back under it
+    # (ops/als._quantize_table, benchmarks/round5_int8_gather.py)
+    s_q = stage("als256_int8", lambda: bench_als(
+        Cui, *buckets_for(256, "bfloat16"), 256, "bfloat16",
+        gather_quant=(False, True)))
+    extras["als_f256_int8gather_s_per_iter"] = _row(s_q, A6000_S_PER_ITER[256])
     emit()
 
     # the reference's second benchmark dataset (ML-20M shape)

@@ -152,6 +152,59 @@ def main():
             check(f"gramian_cg {tag} {shape} vs-composed", got,
                   composed_cg(Yu, dat, x0, YtY, 3), *lo)
 
+    # int8 in-kernel dequant variants (gather_quant): real Mosaic / the
+    # interpreter vs the dequantize-then-run bf16 kernel on the SAME
+    # quantized values — the only delta allowed is bf16 multiply rounding
+    # order in the dequant itself
+    from implicit_tpu.ops.als import _quantize_table
+
+    q_cases = [(16, 64, 128), (16, 96, 256), (8, 24, 64)]
+    for shape in (q_cases[:1] if QUICK else q_cases):
+        C, L, F = shape
+        rng = np.random.default_rng(7 * C + L)
+        Y = jnp.asarray(rng.standard_normal((96, F), dtype=np.float32) * 0.1)
+        q, s = _quantize_table(Y, "bfloat16")
+        idx = rng.integers(0, 96, (C, L))
+        Yu_q = jnp.asarray(np.asarray(q)[idx])
+        S = jnp.asarray(np.asarray(s)[idx])
+        Yu_deq = jnp.asarray(
+            np.asarray(q)[idx].astype(np.float32)
+            * np.asarray(s, dtype=np.float32)[idx][:, :, None]
+        ).astype(jnp.bfloat16)
+        _, dat, x0, YtY = cg_case(C, L, F, seed=L)
+        got = cg_solve_full(Yu_q, dat, x0, YtY, cg_steps=3,
+                            interpret=interpret, scales=S)
+        want = cg_solve_full(Yu_deq, dat, x0, YtY, cg_steps=3,
+                             interpret=interpret)
+        check(f"cg_full int8 {shape} vs-dequant-bf16", got, want, 5e-2, 5e-2)
+        w, bv = _weights(dat)
+        v = jnp.asarray(rng.standard_normal((C, F), dtype=np.float32) * 0.1)
+        got = weighted_matvec(Yu_q, w, bv, v, 1.0, -1.0,
+                              interpret=interpret, scales=S)
+        want = weighted_matvec(Yu_deq, w, bv, v, 1.0, -1.0,
+                               interpret=interpret)
+        check(f"wmatvec int8 {shape} vs-dequant-bf16", got, want, 5e-2, 5e-1)
+
+    gq_cases = [(8, 1536, 128), (8, 768, 256)]
+    for shape in (gq_cases[:1] if QUICK else gq_cases):
+        C, L, F = shape
+        rng = np.random.default_rng(11 * C + L)
+        Y = jnp.asarray(rng.standard_normal((96, F), dtype=np.float32) * 0.1)
+        q, s = _quantize_table(Y, "bfloat16")
+        idx = rng.integers(0, 96, (C, L))
+        Yu_q = jnp.asarray(np.asarray(q)[idx])
+        S = jnp.asarray(np.asarray(s)[idx])
+        Yu_deq = jnp.asarray(
+            np.asarray(q)[idx].astype(np.float32)
+            * np.asarray(s, dtype=np.float32)[idx][:, :, None]
+        ).astype(jnp.bfloat16)
+        _, dat, x0, YtY = cg_case(C, L, F, seed=F)
+        got = gramian_cg_solve(Yu_q, dat, x0, YtY, cg_steps=3,
+                               interpret=interpret, scales=S)
+        want = gramian_cg_solve(Yu_deq, dat, x0, YtY, cg_steps=3,
+                                interpret=interpret)
+        check(f"gramian_cg int8 {shape} vs-dequant-bf16", got, want, 5e-2, 5e-2)
+
     print(f"\n{len(FAILURES)} failures", flush=True)
     sys.exit(1 if FAILURES else 0)
 

@@ -26,6 +26,7 @@ def AlternatingLeastSquares(
     mesh=None,
     grid="auto",
     ingest="auto",
+    gather_quant=False,
 ):
     """Alternating Least Squares.
 
@@ -71,6 +72,15 @@ def AlternatingLeastSquares(
         to the single-COO-upload device pack; "device" forces it (2x
         measured ingestion wall at 50M-nnz scale once compiled, fewer
         bytes over the transport); "host" always packs on the host
+    gather_quant : {False, True, "auto"}, optional
+        Gather the fixed-side factor block from an int8 per-row-scaled
+        table copy during solves. Wide tables (factors >= 192 at
+        last.fm-scale row counts) outgrow the VMEM promotion boundary and
+        gather at the slow HBM per-index rate; int8 halves the table back
+        under it. "auto" applies it per side only for 16-bit compute
+        (dtype=float16) tables past the boundary; f32 models are never
+        silently requantized. See ops.als._quantize_table for the
+        precision contract.
 
     Returns
     -------
@@ -90,4 +100,5 @@ def AlternatingLeastSquares(
         mesh=mesh,
         grid=grid,
         ingest=ingest,
+        gather_quant=gather_quant,
     )

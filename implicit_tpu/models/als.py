@@ -103,6 +103,15 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         pack: 2.06x measured ingestion wall at 50M-nnz scale once
         compiled, ~2.7x fewer transport bytes — right for ingestion-bound
         refit pipelines. "host" always packs on the host.
+    gather_quant : {False, True, "auto"}, optional
+        Solve against an int8 per-row-scaled copy of the fixed-side factor
+        table. Factor tables past the VMEM promotion boundary (~100MB:
+        360k rows at factors>=192 in bf16, or >=96 in f32) gather at the
+        HBM per-index rate, ~5x slower per row than promoted tables; int8
+        halves the bytes back under the boundary at a per-element rounding
+        cost ~2x bf16's. "auto" enables it per side, only for 16-bit
+        compute and only past the boundary. Measured speed/quality:
+        benchmarks/round5_int8_gather.py + the bench quality gate.
     """
 
     def __init__(
@@ -120,6 +129,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         mesh=None,
         grid="auto",
         ingest="auto",
+        gather_quant=False,
     ):
         super().__init__(num_threads=num_threads)
 
@@ -147,10 +157,35 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
         # "device" forces the low-upload-byte on-device pack (2.06x measured
         # ingestion-wall win at MSD scale once compiled)
         self.ingest = ingest
+        if gather_quant not in ("auto", True, False):
+            raise ValueError(
+                f"gather_quant must be 'auto', True or False, got {gather_quant!r}")
+        self.gather_quant = gather_quant
 
         # cached f x f gramians
         self._YtY = None
         self._XtX = None
+
+    def _gather_quant_sides(self, n_users, n_items):
+        """Resolve gather_quant to per-side flags (user side, item side).
+
+        The user half-iteration gathers from the ITEM factor table and vice
+        versa. "auto" quantizes a side only when (a) the model already opted
+        into 16-bit compute and (b) that side's gather table outgrows the
+        VMEM promotion boundary — the regime where int8 wins (measured:
+        benchmarks/round5_int8_gather.py); f32 models are never silently
+        requantized.
+        """
+        from ..ops import als as als_ops
+
+        if self.gather_quant == "auto":
+            if self._compute_dtype != "bfloat16":
+                return (False, False)
+            lim = als_ops.VMEM_PROMO_BYTES
+            return (n_items * self.factors * 2 > lim,
+                    n_users * self.factors * 2 > lim)
+        b = bool(self.gather_quant)
+        return (b, b)
 
     @property
     def _compute_dtype(self):
@@ -235,6 +270,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
 
         use_pallas = None
         compute_dtype = self._compute_dtype
+        gq = self._gather_quant_sides(*user_items.shape)
 
         log.debug("Running %i ALS iterations", self.iterations)
         if callback is None and not self.calculate_training_loss:
@@ -243,7 +279,7 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                 X, Y = als_ops.fit(
                     X, Y, user_buckets, item_buckets, self.regularization,
                     self.iterations, self.use_cg, self.cg_steps, compute_dtype,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, gather_quant=gq,
                 )
                 jax.block_until_ready((X, Y))
                 progress.update(self.iterations)
@@ -258,10 +294,12 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
                         X = als_ops.solve_side(
                             X, Y, user_buckets, self.regularization, self.use_cg,
                             self.cg_steps, compute_dtype, use_pallas=use_pallas,
+                            gather_quant=gq[0],
                         )
                         Y = als_ops.solve_side(
                             Y, X, item_buckets, self.regularization, self.use_cg,
                             self.cg_steps, compute_dtype, use_pallas=use_pallas,
+                            gather_quant=gq[1],
                         )
                         X.block_until_ready()
                     progress.update(1)
@@ -326,7 +364,8 @@ class AlternatingLeastSquares(MatrixFactorizationBase):
 
         loss = None
         kw = dict(axis_name=axis, use_cg=self.use_cg, cg_steps=self.cg_steps,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype,
+                  gather_quant=self._gather_quant_sides(*Cui.shape))
         with tqdm(total=self.iterations, disable=not show_progress) as progress:
             if callback is None and not self.calculate_training_loss:
                 X, Y = als_sharded.fit(

@@ -54,10 +54,19 @@ def gramian(Y, reg):
 
 # NOTE on gather speed (measured, v5e behind axon): row-gathers slow from
 # ~2ns/row to ~10.7ns/row when the source table exceeds ~100MB (f32 user
-# factors at 360k rows). Splitting the table into sub-cliff parts plus a
-# select-chain, half-width dual gathers, index clamping, and locality
-# re-orderings were all measured SLOWER than the single big gather — the
-# cliff sits in XLA's gather lowering, not in anything this layer controls.
+# factors at 360k rows). ROOT CAUSE (round 5, device-trace + controlled
+# probe): XLA's memory-space assignment keeps gather sources it can fit
+# resident in alternate memory — the HLO shows S(1) on tables that fit and
+# plain HBM placement past ~128MB (v5e VMEM) — and the promoted gather runs
+# ~5x faster per row. Controlled boundary sweep at fixed nnz/L-structure
+# (benchmarks/round5_vmem_promo.py, F=256 bf16 item side): 76.8MB table
+# 0.163 s/half-iter, 128MB 0.312, 184MB 0.315. Splitting the table into
+# sub-cliff parts plus a select-chain, half-width dual gathers, index
+# clamping, and locality re-orderings were all measured SLOWER than the
+# single big gather — two live parts can't both promote, so every split
+# pays the HBM rate twice. The one lever that moves a too-big table back
+# under the boundary is shrinking its bytes: see _quantize_table (int8
+# rows + per-row scales, gather_quant=).
 # Packed-gather variant (ALS_PACKED_GATHER=1, measured dead end): bitcast-
 # packing bf16 factor pairs into f32 lanes gathers ~1.5x faster at F=128 in
 # isolation (half the lanes, same bytes), but END-TO-END the half-iteration
@@ -79,12 +88,51 @@ def _pack_table(Y):
 
 
 def _gather_rows(Yc, idx, factors=None):
+    if isinstance(Yc, tuple):
+        # int8-quantized gather table (see _quantize_table): one int8 row
+        # gather + one scalar scale gather, dequantized in the epilogue.
+        q, s = Yc
+        return q[idx].astype(s.dtype) * s[idx][..., None]
     g = Yc[idx]
     if factors is not None and Yc.shape[-1] != factors:
         # packed table: reinterpret the f32 pairs as the original bf16 lanes
         g = jax.lax.bitcast_convert_type(g, jnp.bfloat16)
         g = g.reshape(*g.shape[:-2], factors)
     return g
+
+
+# The measured alternate-memory (VMEM) promotion boundary for gather tables
+# on v5e: an 88MB table gets S(1) placement and gathers at ~2.6 ns/row, a
+# 176MB one stays in HBM at ~12.7 ns/row (trace evidence in
+# benchmarks/round5_f256_trace.py / round5_vmem_promo.py; v5e VMEM is 128MiB
+# and XLA needs headroom for the program's working set). Used by the model
+# layer's gather_quant="auto" policy.
+VMEM_PROMO_BYTES = 100 * (1 << 20)
+
+
+def _quantize_table(Y, compute_dtype):
+    """(N, F) factors -> (int8 rows, per-row scales) for the gather table.
+
+    Symmetric per-row quantization: scale = max|row|/127. Halves the gather
+    table vs bfloat16, which matters at exactly one boundary: XLA's
+    memory-space assignment keeps gather sources it can fit resident in
+    alternate memory (VMEM) — the F=256 device trace shows S(1) on the
+    88MB bf16 table at F=128 and plain HBM on the 176MB one at F=256, and
+    the per-gathered-row cost jumps ~2.6 -> ~12.7 ns across that line
+    (benchmarks/round5_vmem_promo.py). int8 puts a 360k x 256 table back
+    under the boundary. The scales table (2B/row) promotes trivially.
+
+    The solve math sees dequantized rows everywhere the bf16 path sees
+    rounded rows (same contract: the gramian stays full-precision, the
+    sparse terms use the quantized block), so this is a precision knob on
+    exactly the tensor the bf16 mode already rounds.
+    """
+    Yf = Y.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(Yf), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(Yf / scale[:, None]), -127, 127).astype(jnp.int8)
+    sd = jnp.bfloat16 if jnp.dtype(compute_dtype).itemsize == 2 else jnp.float32
+    return q, scale.astype(sd)
 
 
 def _weights(dat):
@@ -182,16 +230,21 @@ def _cg_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps, use_pallas=False):
 
     def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx, n_fac)  # (C, L, F) gather in compute dtype
+        if use_pallas and isinstance(Yparts, tuple):
+            Yu, S = _gather_q(Yparts, cidx)
+            term = lambda *a: sparse_term(*a, scales=S)  # noqa: E731
+        else:
+            Yu = _gather_rows(Yparts, cidx, n_fac)  # (C, L, F), compute dtype
+            term = sparse_term
         w, bv = _weights(cdat)
         x = X[jnp.clip(crows, 0, n_rows - 1)]
 
         # r = b - A x in one fused pass over Yu (+ the dense YtY term)
-        r = sparse_term(Yu, w, bv, x, 1.0, -1.0) - jnp.dot(x, YtY_reg, precision=HIGH)
+        r = term(Yu, w, bv, x, 1.0, -1.0) - jnp.dot(x, YtY_reg, precision=HIGH)
         return _masked_cg(
             x,
             r,
-            lambda v: sparse_term(Yu, w, bv, v, 0.0, 1.0)
+            lambda v: term(Yu, w, bv, v, 0.0, 1.0)
             + jnp.dot(v, YtY_reg, precision=HIGH),
             cg_steps,
         )
@@ -244,6 +297,17 @@ def _full_cg_max_l(compute_dtype, factors=128):
     return max(8, base * 128 // f_pad)
 
 
+def _gather_q(Yparts, idx):
+    """Quant gathers stay epilogue-free: the int8 block and the scale block
+    gather separately (both sources sit under the VMEM promotion boundary)
+    and the dequant happens inside the consuming Pallas kernel — the
+    composed XLA dequant materializes a 1B->2B relayout of the gathered
+    block that was measured to cost more than the promotion win
+    (benchmarks/round5_int8_gather.py, +0.25-0.35 s/iter at every width)."""
+    q, s = Yparts
+    return q[idx], s[idx]
+
+
 def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
     """Tile-resident CG for one class: Yu is read from HBM exactly once."""
     from . import pallas_ops
@@ -252,8 +316,12 @@ def _cg_full_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
+        if isinstance(Yparts, tuple):
+            Yu, S = _gather_q(Yparts, cidx)
+            return pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps,
+                                            scales=S)
+        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         return pallas_ops.cg_solve_full(Yu, cdat, x0, YtY_reg, cg_steps)
 
     return _scan_class(X, (rows, idx, dat), solve_chunk)
@@ -275,19 +343,25 @@ def _long_row_class(X, Yparts, YtY_reg, rows, idx, dat, cg_steps):
 
     def solve_chunk(X, chunk):
         crows, cidx, cdat = chunk
-        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         x0 = X[jnp.clip(crows, 0, n_rows - 1)]
+        if isinstance(Yparts, tuple):
+            Yu, S = _gather_q(Yparts, cidx)
+            return pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps,
+                                               scales=S)
+        Yu = _gather_rows(Yparts, cidx, X.shape[1])
         return pallas_ops.gramian_cg_solve(Yu, cdat, x0, YtY_reg, cg_steps)
 
     return _scan_class(X, (rows, idx, dat), solve_chunk)
 
 
 def _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                     use_pallas, packed_gather=False):
+                     use_pallas, packed_gather=False, gather_quant=False):
     YtY_reg = gramian(Y, reg)
     Yparts = Y.astype(compute_dtype)
     factors = X.shape[1]
-    if packed_gather and Yparts.dtype == jnp.bfloat16 and factors % 2 == 0:
+    if gather_quant:
+        Yparts = _quantize_table(Y, compute_dtype)
+    elif packed_gather and Yparts.dtype == jnp.bfloat16 and factors % 2 == 0:
         # half-lane packed gather table (see the gather-speed NOTE above);
         # _gather_rows reinterprets each gathered block back to bf16
         Yparts = _pack_table(Yparts)
@@ -330,13 +404,13 @@ def _solve_side_core(X, Yparts, YtY_reg, classes, empty_rows, use_cg, cg_steps,
 @functools.partial(
     jax.jit,
     static_argnames=("use_cg", "cg_steps", "compute_dtype", "use_pallas",
-                     "packed_gather"),
+                     "packed_gather", "gather_quant"),
     donate_argnums=(0,),
 )
 def _solve_side_jit(X, Y, reg, classes, empty_rows, use_cg, cg_steps, compute_dtype,
-                    use_pallas, packed_gather=False):
+                    use_pallas, packed_gather=False, gather_quant=False):
     return _solve_side_impl(X, Y, reg, classes, empty_rows, use_cg, cg_steps,
-                            compute_dtype, use_pallas, packed_gather)
+                            compute_dtype, use_pallas, packed_gather, gather_quant)
 
 
 def _class_tuples(buckets):
@@ -357,13 +431,17 @@ PALLAS_IN_FIT = True
 
 
 def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.float32,
-               use_pallas=None):
+               use_pallas=None, gather_quant=False):
     """One ALS half-iteration: re-solve X given Y over bucketed chunks.
 
     ``buckets`` should be a DeviceBuckets (sparse.BucketedCSR.to_device()) so
     the interaction tensors are uploaded once per fit, not once per call.
     Mirrors the reference iteration structure (implicit/cpu/als.py:162-177):
     rows with no interactions are zeroed, every other row re-solved.
+
+    ``gather_quant=True`` gathers from an int8 per-row-scaled copy of ``Y``
+    (see _quantize_table): a precision/speed knob for wide factor tables
+    that outgrow the VMEM promotion boundary.
 
     NOTE: ``X`` is DONATED — its device buffer is consumed into the result
     (zero-copy iteration); using the passed-in array afterwards raises
@@ -380,16 +458,21 @@ def solve_side(X, Y, buckets, reg, use_cg=True, cg_steps=3, compute_dtype=jnp.fl
     return _solve_side_jit(
         X, Y, jnp.float32(reg), _class_tuples(buckets), buckets.empty_rows,
         use_cg, cg_steps, jnp.dtype(compute_dtype).name, use_pallas,
-        _packed_gather_enabled(),
+        _packed_gather_enabled(), gather_quant,
     )
 
 
 def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps=3,
-        compute_dtype=jnp.float32, use_pallas=None):
+        compute_dtype=jnp.float32, use_pallas=None, gather_quant=False):
     """Runs ``iterations`` full ALS iterations (two async dispatches each).
 
     Dispatches are enqueued without host synchronization, so the transport
     round-trip is paid once per fit, not per iteration.
+
+    ``gather_quant`` may be a bool (both half-iterations) or a
+    ``(user_side, item_side)`` pair: the user side gathers from the ITEM
+    table, the item side from the USER table, and only a table past the
+    VMEM promotion boundary benefits from int8 (see _quantize_table).
 
     NOTE: ``X`` and ``Y`` are DONATED into the iteration chain; the passed
     arrays are invalid afterwards (pass ``X + 0.0`` to keep a live copy).
@@ -402,6 +485,9 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     cdt = jnp.dtype(compute_dtype).name
     uc, ue = _class_tuples(user_buckets), user_buckets.empty_rows
     ic, ie = _class_tuples(item_buckets), item_buckets.empty_rows
+    if not isinstance(gather_quant, (tuple, list)):
+        gather_quant = (gather_quant, gather_quant)
+    gq_user, gq_item = (bool(g) for g in gather_quant)
 
     # cold-fit wall mitigation: the user-side and item-side programs are
     # independent, and XLA compilation releases the GIL (a C++ call, or an
@@ -410,6 +496,8 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     # on a fresh shape; a cache hit makes both lower+compile calls cheap
     statics = dict(use_cg=use_cg, cg_steps=cg_steps, compute_dtype=cdt,
                    use_pallas=use_pallas, packed_gather=_packed_gather_enabled())
+    statics_u = dict(statics, gather_quant=gq_user)
+    statics_i = dict(statics, gather_quant=gq_item)
     solve = None
     if iterations > 0:
         # no `with` block: ThreadPoolExecutor.__exit__ joins workers, so a
@@ -422,15 +510,15 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
         # caller's state and re-apply it inside the compile workers
         x64 = bool(jax.config.jax_enable_x64)
 
-        def _compile(*args):
+        def _compile(statics_side, *args):
             ctx = jax.enable_x64() if x64 else contextlib.nullcontext()
             with ctx:
-                return _solve_side_jit.lower(*args, **statics).compile()
+                return _solve_side_jit.lower(*args, **statics_side).compile()
 
         pool = concurrent.futures.ThreadPoolExecutor(2)
         try:
-            fu = pool.submit(_compile, X, Y, reg, uc, ue)
-            fi = pool.submit(_compile, Y, X, reg, ic, ie)
+            fu = pool.submit(_compile, statics_u, X, Y, reg, uc, ue)
+            fi = pool.submit(_compile, statics_i, Y, X, reg, ic, ie)
             solve_user, solve_item = fu.result(), fi.result()
             solve = lambda A, B, c, e, which: (  # noqa: E731
                 solve_user if which == 0 else solve_item)(A, B, reg, c, e)
@@ -445,7 +533,7 @@ def fit(X, Y, user_buckets, item_buckets, reg, iterations, use_cg=True, cg_steps
     if solve is None:
         solve = lambda A, B, c, e, which: _solve_side_jit(  # noqa: E731
             A, B, reg, c, e, use_cg, cg_steps, cdt, use_pallas,
-            statics["packed_gather"])
+            statics["packed_gather"], (gq_user, gq_item)[which])
     for _ in range(iterations):
         X = solve(X, Y, uc, ue, 0)
         Y = solve(Y, X, ic, ie, 1)

@@ -26,8 +26,29 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *,
-                            alpha, beta, nl, BL, L):
+def _dequant_tile(yu_ref, s_ref, compute_dtype):
+    """int8 tile + per-row scales -> compute-dtype tile, inside VMEM.
+
+    The XLA-epilogue dequant was a measured dead end (int8 gathers +
+    composed dequant lost 0.25-0.35 s/iter at every width — the 1B->2B
+    dtype change forces a materialized relayout of the gathered block,
+    exactly like the packed-gather postmortem in ops/als.py). Fusing the
+    dequant here means the gather stays epilogue-free int8 (layout
+    preserved, table under the VMEM promotion boundary) and the convert
+    happens tile-by-tile on-chip. The scale expand reshapes while still
+    f32 and casts AFTER (Mosaic rejects sub-128-lane bf16 shape casts —
+    same rule as the v expand in _weighted_matvec_kernel).
+    """
+    sv = s_ref[:][:, :, None].astype(compute_dtype)  # (BC, BL, 1)
+    return yu_ref[:].astype(compute_dtype) * sv
+
+
+def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, *rest,
+                            alpha, beta, nl, BL, L, compute=None):
+    if compute is not None:
+        s_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     li = pl.program_id(1)
 
     @pl.when(li == 0)
@@ -36,7 +57,10 @@ def _weighted_matvec_kernel(w_ref, bv_ref, v_ref, yu_ref, out_ref, acc_ref, *,
 
     # products stay in the compute dtype (bf16 halves the VMEM footprint);
     # reductions accumulate in f32
-    yu = yu_ref[:]  # (BC, BL, F) compute dtype
+    if compute is not None:
+        yu = _dequant_tile(yu_ref, s_ref, compute)  # (BC, BL, F)
+    else:
+        yu = yu_ref[:]  # (BC, BL, F) compute dtype
     if L % BL:
         # partial final L-tile: out-of-bounds reads are undefined — zero
         # both the gathered rows and the coefficients past L (a masked
@@ -68,11 +92,14 @@ def _interpret_default():
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "beta", "interpret"))
-def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("alpha", "beta", "interpret", "compute"))
+def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret, scales=None,
+                          compute=None):
     """One-pass sum_l (alpha*bv + beta*w*(Yu.v)) * Yu over the L axis.
 
-    Yu : (C, L, F) gathered factors (float32 or bfloat16)
+    Yu : (C, L, F) gathered factors (float32 or bfloat16; int8 with
+         ``scales``/``compute`` set — dequantized in-kernel)
     w, bv, v : (C, L), (C, L), (C, F) float32
     Returns (C, F) float32.
     """
@@ -89,8 +116,11 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
         BL = next((c for c in (512, 384, 256, 128) if L % c == 0), 256)
     # size by PHYSICAL footprint (last dim lane-padded to 128): the kernel
     # holds ~2 tile-sized f32 temporaries plus the double-buffered input
+    # (quant adds the dequantized compute-dtype copy: ~2/3 the element
+    # budget keeps the scoped footprint level)
     F_pad = _round_up(F, 128)
-    BC = min(C, (1 << 20) // (BL * F_pad), 1024)
+    elems = (1 << 20) if scales is None else ((1 << 20) * 2 // 3)
+    BC = min(C, elems // (BL * F_pad), 1024)
     BC = max(8, (BC // 8) * 8)
     if C % BC:
         # fall back to the largest multiple-of-8 divisor-aligned tile
@@ -101,19 +131,25 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
 
     kernel = functools.partial(
         _weighted_matvec_kernel, alpha=float(alpha), beta=float(beta), nl=nl,
-        BL=BL, L=L,
+        BL=BL, L=L, compute=compute,
     )
 
+    tile2 = lambda ci, li: (ci, li)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((BC, BL), tile2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, BL), tile2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (w, bv, v, Yu)
+    if scales is not None:
+        in_specs.append(pl.BlockSpec((BC, BL), tile2, memory_space=pltpu.VMEM))
+        args = args + (scales.astype(jnp.float32),)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(nc, nl),
-        in_specs=[
-            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BC, F), jnp.float32)],
@@ -122,16 +158,20 @@ def _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret):
             bytes_accessed=C * L * F * Yu.dtype.itemsize + C * L * 8 + C * F * 8,
             transcendentals=0,
         ),
-    )(w, bv, v, Yu)
+    )(*args)
 
 
-def weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=None):
+def weighted_matvec(Yu, w, bv, v, alpha, beta, interpret=None, scales=None):
     if interpret is None:
         interpret = _interpret_default()
-    return _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret)
+    if scales is None:
+        return _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret)
+    return _weighted_matvec_call(Yu, w, bv, v, alpha, beta, interpret,
+                                 scales=scales, compute=jnp.bfloat16)
 
 
-def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
+def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, *rest, cg_steps,
+                    compute=None):
     """The ENTIRE per-row CG solve on a VMEM-resident block.
 
     Reads the gathered factor tile once and runs residual + ``cg_steps``
@@ -140,7 +180,12 @@ def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
     implicit/cpu/_als.pyx:_least_squares_cg:154-248 (warm start, per-row
     rs < 1e-20 early exit) on a whole (BC, L) block of rows at once.
     """
-    yu = yu_ref[:]  # (BC, L, F) compute dtype
+    if compute is not None:
+        s_ref, out_ref = rest
+        yu = _dequant_tile(yu_ref, s_ref, compute)  # (BC, L, F)
+    else:
+        (out_ref,) = rest
+        yu = yu_ref[:]  # (BC, L, F) compute dtype
     dat = dat_ref[:]  # (BC, L) f32
     x = x0_ref[:]  # (BC, F) f32
     yty = yty_ref[:]  # (F, F) f32
@@ -185,30 +230,41 @@ def _cg_full_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, *, cg_steps):
     out_ref[:] = x
 
 
-@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
-def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
+@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret", "compute"))
+def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret, scales=None,
+                  compute=None):
     C, L, F = Yu.shape
     # the whole L axis must fit the tile. Size BC by the PHYSICAL footprint:
     # the last dim is lane-padded to 128, and ~2 f32 tile-sized temporaries
-    # are live at once, so keep BC*L*Fpad around 1M elements (VMEM is 16MB)
+    # are live at once, so keep BC*L*Fpad around 1M elements (VMEM is 16MB;
+    # quant holds the int8 input AND its dequantized compute-dtype copy,
+    # hence the 2/3 budget)
     F_pad = _round_up(F, 128)
-    BC = min(C, (1 << 20) // (L * F_pad), 512)
+    elems = (1 << 20) if scales is None else ((1 << 20) * 2 // 3)
+    BC = min(C, elems // (L * F_pad), 512)
     BC = max(8, (BC // 8) * 8)
     while C % BC and BC > 8:
         BC -= 8
     nc = -(-C // BC)
 
-    kernel = functools.partial(_cg_full_kernel, cg_steps=cg_steps)
+    kernel = functools.partial(_cg_full_kernel, cg_steps=cg_steps,
+                               compute=compute)
+    in_specs = [
+        pl.BlockSpec((BC, L), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, F), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, F), lambda ci: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, L, F), lambda ci: (ci, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (dat, x0, YtY_reg, Yu)
+    if scales is not None:
+        in_specs.append(
+            pl.BlockSpec((BC, L), lambda ci: (ci, 0), memory_space=pltpu.VMEM))
+        args = args + (scales.astype(jnp.float32),)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((BC, L), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, F), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, F), lambda ci: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, L, F), lambda ci: (ci, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BC, F), lambda ci: (ci, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -216,18 +272,25 @@ def _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
             bytes_accessed=C * L * F * Yu.dtype.itemsize,
             transcendentals=0,
         ),
-    )(dat, x0, YtY_reg, Yu)
+    )(*args)
 
 
-def cg_solve_full(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
-    """Full warm-started CG solve of one gathered block; returns (C, F) x."""
+def cg_solve_full(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None, scales=None):
+    """Full warm-started CG solve of one gathered block; returns (C, F) x.
+
+    With ``scales`` (per-row quant scales, (C, L)), ``Yu`` is int8 and the
+    dequant to bfloat16 happens in-kernel (see _dequant_tile).
+    """
     if interpret is None:
         interpret = _interpret_default()
-    return _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
+    if scales is None:
+        return _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
+    return _cg_full_call(Yu, dat, x0, YtY_reg, cg_steps, interpret,
+                         scales=scales, compute=jnp.bfloat16)
 
 
-def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, A_ref, b_ref,
-                       *, nl, cg_steps, bc):
+def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, *rest,
+                       nl, cg_steps, bc, compute=None):
     """Fused long-row solver: gramian build (MXU) + in-VMEM CG, one HBM pass.
 
     For rows too long to keep VMEM-resident through the tile CG, the normal
@@ -238,6 +301,10 @@ def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, A_ref, b_ref,
     (C, F, F) normal matrices ever exist in HBM (the composed XLA
     formulation writes both, tripling traffic).
     """
+    if compute is not None:
+        s_ref, out_ref, A_ref, b_ref = rest
+    else:
+        out_ref, A_ref, b_ref = rest
     li = pl.program_id(1)
 
     @pl.when(li == 0)
@@ -245,7 +312,10 @@ def _gramian_cg_kernel(dat_ref, x0_ref, yty_ref, yu_ref, out_ref, A_ref, b_ref,
         A_ref[:] = jnp.zeros_like(A_ref)
         b_ref[:] = jnp.zeros_like(b_ref)
 
-    yu = yu_ref[:]  # (BC, BL, F) compute dtype
+    if compute is not None:
+        yu = _dequant_tile(yu_ref, s_ref, compute)  # (BC, BL, F)
+    else:
+        yu = yu_ref[:]  # (BC, BL, F) compute dtype
     dat = dat_ref[:]  # (BC, BL) f32
     mask = dat != 0
     w = jnp.where(mask, jnp.abs(dat) - 1.0, 0.0)
@@ -328,8 +398,9 @@ def gramian_tile_l(L, F, itemsize):
     return bl if bl >= 128 else None
 
 
-@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret"))
-def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
+@functools.partial(jax.jit, static_argnames=("cg_steps", "interpret", "compute"))
+def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret, scales=None,
+                     compute=None):
     C, L, F = Yu.shape
     BC = 8
     BL = gramian_tile_l(L, F, Yu.dtype.itemsize)
@@ -340,17 +411,24 @@ def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
     nc = -(-C // BC)
     nl = L // BL
 
-    kernel = functools.partial(_gramian_cg_kernel, nl=nl, cg_steps=cg_steps, bc=BC)
+    kernel = functools.partial(_gramian_cg_kernel, nl=nl, cg_steps=cg_steps,
+                               bc=BC, compute=compute)
+    tile2 = lambda ci, li: (ci, li)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((BC, BL), tile2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, F), lambda ci, li: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (dat, x0, YtY_reg, Yu)
+    if scales is not None:
+        in_specs.append(pl.BlockSpec((BC, BL), tile2, memory_space=pltpu.VMEM))
+        args = args + (scales.astype(jnp.float32),)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(nc, nl),
-        in_specs=[
-            pl.BlockSpec((BC, BL), lambda ci, li: (ci, li), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, F), lambda ci, li: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BC, BL, F), lambda ci, li: (ci, li, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BC, F), lambda ci, li: (ci, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
         scratch_shapes=[
@@ -362,14 +440,21 @@ def _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret):
             bytes_accessed=C * L * F * Yu.dtype.itemsize + C * L * 4,
             transcendentals=0,
         ),
-    )(dat, x0, YtY_reg, Yu)
+    )(*args)
 
 
-def gramian_cg_solve(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None):
-    """Long-row solve of one gathered block: explicit A + masked CG, fused."""
+def gramian_cg_solve(Yu, dat, x0, YtY_reg, cg_steps=3, interpret=None,
+                     scales=None):
+    """Long-row solve of one gathered block: explicit A + masked CG, fused.
+
+    With ``scales``, ``Yu`` is int8 and dequantizes in-kernel (bfloat16).
+    """
     if interpret is None:
         interpret = _interpret_default()
-    return _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
+    if scales is None:
+        return _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret)
+    return _gramian_cg_call(Yu, dat, x0, YtY_reg, cg_steps, interpret,
+                            scales=scales, compute=jnp.bfloat16)
 
 
 def weighted_matvec_reference(Yu, w, bv, v, alpha, beta):

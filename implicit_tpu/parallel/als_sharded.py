@@ -303,7 +303,7 @@ def _class_tuples(sharded):
 
 @functools.lru_cache(maxsize=None)
 def _build_step(mesh, axis_name, uspec_key, ispec_key, use_cg,
-                cg_steps, compute_dtype, use_pallas):
+                cg_steps, compute_dtype, use_pallas, gather_quant=(False, False)):
     """Compiled ONE-iteration shard_map step (cached per mesh / class
     structure / statics). A single-iteration program keeps the compile cost
     independent of the iteration count — ``fit`` enqueues it N times without
@@ -337,27 +337,41 @@ def _build_step(mesh, axis_name, uspec_key, ispec_key, use_cg,
         ue = None if uempty is None else uempty[0]
         ie = None if iempty is None else iempty[0]
 
-        def gather_side(side):
+        def gather_side(side, quant):
             """(compute-dtype gathered table, f32 regularized gramian).
 
             The gramian is a psum of per-chip local gramians — exactly the
             full-table gramian up to f32 summation order — so the big
             all-gather can move the table in the compute dtype directly
-            (half the ICI bytes in 16-bit modes) instead of f32.
+            (half the ICI bytes in 16-bit modes) instead of f32. With
+            ``quant`` the shard quantizes its own rows first (per-row int8,
+            identical to quantizing the gathered table — scales are
+            row-local) and the all-gather moves int8 + scales: half the ICI
+            bytes again, and the gathered table lands under the VMEM
+            promotion boundary at twice the row count (ops.als NOTE).
             """
             local = jnp.dot(side.T, side,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
             gram = jax.lax.psum(local, axis_name) + reg * jnp.eye(
                 side.shape[1], dtype=jnp.float32)
-            table = jax.lax.all_gather(side.astype(cd), axis_name, axis=0,
-                                       tiled=True)
+            if quant:
+                from ..ops.als import _quantize_table
+
+                q, s = _quantize_table(side, compute_dtype)
+                table = (
+                    jax.lax.all_gather(q, axis_name, axis=0, tiled=True),
+                    jax.lax.all_gather(s, axis_name, axis=0, tiled=True),
+                )
+            else:
+                table = jax.lax.all_gather(side.astype(cd), axis_name, axis=0,
+                                           tiled=True)
             return table, gram
 
-        Yf, YtY = gather_side(Y)
+        Yf, YtY = gather_side(Y, gather_quant[0])
         X = _solve_side_core(X, Yf, YtY, uc, ue, use_cg, cg_steps,
                              compute_dtype, use_pallas)
-        Xf, XtX = gather_side(X)
+        Xf, XtX = gather_side(X, gather_quant[1])
         Y = _solve_side_core(Y, Xf, XtX, ic, ie, use_cg, cg_steps,
                              compute_dtype, use_pallas)
         return X, Y
@@ -370,7 +384,8 @@ def _build_step(mesh, axis_name, uspec_key, ispec_key, use_cg,
 
 
 def fit(X, Y, user_sh, item_sh, mesh, reg, iterations, axis_name="d",
-        use_cg=True, cg_steps=3, compute_dtype="float32", use_pallas=None):
+        use_cg=True, cg_steps=3, compute_dtype="float32", use_pallas=None,
+        gather_quant=False):
     """``iterations`` full ALS iterations over the row-sharded layout.
 
     X/Y are shard-order factor matrices (permute_rows) placed with
@@ -393,12 +408,14 @@ def fit(X, Y, user_sh, item_sh, mesh, reg, iterations, axis_name="d",
         from ..ops.als import PALLAS_IN_FIT, _on_tpu
 
         use_pallas = PALLAS_IN_FIT and _on_tpu(X)
+    if not isinstance(gather_quant, (tuple, list)):
+        gather_quant = (gather_quant, gather_quant)
     step = _build_step(
         mesh, axis_name,
         (len(user_sh.classes), user_sh.empty_rows is not None),
         (len(item_sh.classes), item_sh.empty_rows is not None),
         use_cg, cg_steps, jnp.dtype(compute_dtype).name,
-        use_pallas,
+        use_pallas, tuple(bool(g) for g in gather_quant),
     )
     uc, ue = _class_tuples(user_sh), user_sh.empty_rows
     ic, ie = _class_tuples(item_sh), item_sh.empty_rows

@@ -321,3 +321,37 @@ def test_stored_zeros_treated_as_unobserved():
     np.testing.assert_allclose(a.user_factors, b.user_factors, atol=1e-6)
     # the caller's matrix is untouched
     assert (wz.data == 0).any()
+
+
+def test_gather_quant_model_knob():
+    # knob validation + "auto" per-side resolution + an end-to-end quantized
+    # fit that still ranks (the speed case is TPU-only: VMEM promotion,
+    # see ops/als.py VMEM_PROMO_BYTES)
+    import pytest
+
+    from implicit_tpu.models.als import AlternatingLeastSquares as ALS
+    from implicit_tpu.ops import als as als_ops
+
+    with pytest.raises(ValueError):
+        ALS(gather_quant="yes")
+
+    m = ALS(factors=32, dtype=np.float16, gather_quant="auto")
+    lim_rows = als_ops.VMEM_PROMO_BYTES // (32 * 2)
+    assert m._gather_quant_sides(10, 10) == (False, False)
+    # item side gathers from the USER table -> huge user count quantizes
+    # only the item side
+    assert m._gather_quant_sides(lim_rows + 1, 10) == (False, True)
+    assert m._gather_quant_sides(10, lim_rows + 1) == (True, False)
+    # f32 compute is never silently requantized
+    m32 = ALS(factors=32, gather_quant="auto")
+    assert m32._gather_quant_sides(lim_rows * 4, lim_rows * 4) == (False, False)
+
+    likes = get_checkerboard(50)
+    model = ALS(factors=16, iterations=5, random_state=3, gather_quant=True)
+    model.fit(likes, show_progress=False)
+    ids, _ = model.recommend(0, likes[0], N=5)
+    base = ALS(factors=16, iterations=5, random_state=3)
+    base.fit(likes, show_progress=False)
+    base_ids, _ = base.recommend(0, likes[0], N=5)
+    # same checkerboard structure recovered through the quantized gathers
+    assert set(ids) & set(base_ids)

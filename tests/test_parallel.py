@@ -699,3 +699,31 @@ def test_meshed_knn_ease_tiny_catalog_and_empty():
 
     empty = csr_matrix((10, 5))
     assert all_pairs_knn(empty, 3, method="device", mesh=mesh).nnz == 0
+
+
+def test_row_sharded_gather_quant_matches_single_device():
+    """gather_quant over the mesh: each shard quantizes its own rows before
+    the all-gather (per-row scales are row-local, so the quantized table is
+    identical math to the single-device one). Factor-level equality is NOT
+    the contract here — int8 rounding sits at .5 boundaries where f32
+    reduction-order noise flips values and amplifies across iterations — so
+    this gates on behavior: converged loss and recommendation overlap."""
+    from implicit_tpu.als import AlternatingLeastSquares
+    from implicit_tpu.models.als import calculate_loss
+
+    Cui = _random_csr(users=400, items=250, seed=13)
+    single = AlternatingLeastSquares(factors=32, iterations=4, random_state=7,
+                                     gather_quant=True)
+    single.fit(Cui, show_progress=False)
+    meshed = AlternatingLeastSquares(factors=32, iterations=4, random_state=7,
+                                     mesh=8, gather_quant=True)
+    meshed.fit(Cui, show_progress=False)
+
+    l1 = calculate_loss(Cui, single.user_factors, single.item_factors, 0.01)
+    l2 = calculate_loss(Cui, meshed.user_factors, meshed.item_factors, 0.01)
+    assert abs(l1 - l2) / abs(l1) < 0.02
+    ids1, _ = single.recommend(np.arange(40), Cui[:40], N=10)
+    ids2, _ = meshed.recommend(np.arange(40), Cui[:40], N=10)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(ids1, ids2)])
+    assert overlap > 0.8, overlap
